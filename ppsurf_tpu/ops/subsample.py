@@ -56,7 +56,9 @@ def _first_in_voxel_flags(pts_rot: Array, vox: Array, tie: Array) -> Array:
     """Bool flag per point: is it the (random) representative of its voxel?"""
     n = pts_rot.shape[0]
     mini = jnp.min(pts_rot, axis=0)
-    cell = jnp.floor((pts_rot - mini[None, :]) / vox).astype(jnp.int64)
+    # int32 voxel ids: grid extent per axis is <= diag/vox + 2 ~ sqrt(N)+2,
+    # so the linear id stays < (sqrt(N)+2)^3 — well inside int32 for N <= 1M.
+    cell = jnp.floor((pts_rot - mini[None, :]) / vox).astype(jnp.int32)
     dim = jnp.max(cell) + 2
     vox_id = (cell[:, 0] * dim + cell[:, 1]) * dim + cell[:, 2]
     order = jnp.lexsort((tie, vox_id))

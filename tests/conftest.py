@@ -12,6 +12,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The image's sitecustomize registers the axon TPU PJRT plugin in every
+# interpreter and overrides JAX_PLATFORMS; force the platform back to CPU
+# before any backend is initialized (works because backends are lazy).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
