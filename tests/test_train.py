@@ -1,0 +1,117 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from ppsurf_tpu.data import OccupancyDataModule
+from ppsurf_tpu.train import ModelSpec, TrainConfig, Trainer, poco_spec, ppsurf_spec
+from ppsurf_tpu.train.loop import cross_entropy_loss, find_version_dir
+
+
+def tiny_ppsurf_spec(**kw):
+    return ppsurf_spec(
+        name="ppsurf_test", network_latent_size=16, pointnet_latent_size=16,
+        num_pts_local=8, k=8, **kw,
+    )
+
+
+def tiny_datamodule(abc_minimal_dir, batch_size=2):
+    return OccupancyDataModule(
+        in_file=os.path.join(abc_minimal_dir, "testset.txt"),
+        batch_size=batch_size,
+        manifold_points=128,
+        patches_per_shape=32,
+        seed=42,
+    )
+
+
+class TestData:
+    def test_dataset_items(self, abc_minimal_dir):
+        dm = tiny_datamodule(abc_minimal_dir)
+        ds = dm.train_dataset()
+        assert len(ds) == 7  # trainset.txt
+        item = ds[0]
+        assert item["pts_ms"].shape == (128, 3)
+        assert item["pts_query_ms"].shape == (32, 3)
+        assert item["occ"].shape == (32,)
+        assert set(np.unique(item["occ"])) <= {0, 1}
+        assert item["pts_raw_ms"].shape[0] == ds.raw_pad_size
+        assert item["raw_valid"].sum() > 0
+
+    def test_epoch_batches_static_shapes(self, abc_minimal_dir):
+        dm = tiny_datamodule(abc_minimal_dir, batch_size=4)
+        ds = dm.test_dataset()  # 2 shapes -> wraps to fill batch of 4
+        batches = list(dm.epoch_batches(ds, np.random.RandomState(0), shuffle=False))
+        assert len(batches) == 1
+        assert batches[0]["pts_ms"].shape == (4, 128, 3)
+
+    def test_augmentation_rotates(self, abc_minimal_dir):
+        dm = tiny_datamodule(abc_minimal_dir)
+        ds_aug = dm.train_dataset()
+        item1 = ds_aug[0]
+        item2 = ds_aug[0]
+        # different random rotations per visit
+        assert not np.allclose(item1["pts_ms"], item2["pts_ms"])
+
+
+class TestTrainStep:
+    def test_fit_one_epoch_decreases_loss(self, abc_minimal_dir, tmp_path):
+        dm = tiny_datamodule(abc_minimal_dir)
+        spec = tiny_ppsurf_spec()
+        cfg = TrainConfig(
+            max_epochs=2, batch_size=2, num_devices=2, knn_tile=64,
+            default_root_dir=str(tmp_path / "models"),
+        )
+        trainer = Trainer(spec, cfg)
+        state = trainer.fit(dm)
+        assert int(jax.device_get(state.step)) == 2 * 4  # ceil(7 shapes / bs 2) * 2 epochs
+        # checkpoint written in the reference layout
+        assert os.path.isdir(os.path.join(trainer.ckpt_dir, "last"))
+
+    def test_poco_spec_fit_smoke(self, abc_minimal_dir, tmp_path):
+        dm = tiny_datamodule(abc_minimal_dir)
+        spec = poco_spec(name="poco_test", network_latent_size=16, k=8)
+        cfg = TrainConfig(
+            max_epochs=1, batch_size=2, num_devices=1, knn_tile=64,
+            default_root_dir=str(tmp_path / "models"),
+        )
+        trainer = Trainer(spec, cfg)
+        state = trainer.fit(dm)
+        assert int(jax.device_get(state.step)) == 4
+
+    def test_checkpoint_roundtrip(self, abc_minimal_dir, tmp_path):
+        dm = tiny_datamodule(abc_minimal_dir)
+        spec = tiny_ppsurf_spec()
+        cfg = TrainConfig(
+            max_epochs=1, batch_size=2, num_devices=2, knn_tile=64,
+            default_root_dir=str(tmp_path / "models"),
+        )
+        trainer = Trainer(spec, cfg)
+        state = trainer.fit(dm)
+        restored = trainer.restore_checkpoint(
+            state, os.path.join(trainer.ckpt_dir, "last")
+        )
+        p0 = jax.device_get(jax.tree_util.tree_leaves(state.params)[0])
+        p1 = jax.device_get(jax.tree_util.tree_leaves(restored.params)[0])
+        np.testing.assert_allclose(p0, p1)
+
+
+class TestLoss:
+    def test_cross_entropy_matches_manual(self):
+        import jax.numpy as jnp
+
+        logits = jnp.asarray([[[2.0, -1.0], [0.5, 0.5]]])
+        occ = jnp.asarray([[0, 1]])
+        loss = float(cross_entropy_loss(logits, occ))
+        p = np.exp([2.0, -1.0]) / np.exp([2.0, -1.0]).sum()
+        manual = (-np.log(p[0]) + -np.log(0.5)) / 2
+        np.testing.assert_allclose(loss, manual, rtol=1e-5)
+
+
+def test_find_version_dir(tmp_path):
+    root = str(tmp_path)
+    assert find_version_dir(root).endswith("version_0")
+    os.makedirs(os.path.join(root, "version_0"))
+    assert find_version_dir(root).endswith("version_1")
+    assert find_version_dir(root, resume=True).endswith("version_0")
