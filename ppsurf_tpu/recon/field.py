@@ -1,0 +1,167 @@
+"""jit-compiled implicit-field evaluation for reconstruction.
+
+Replaces the reference's predict-time GPU/CPU mix
+(`source/poco_model.py:183-237` latent accumulation,
+`source/poco_utils.py:67-82` per-chunk closures) with two cached-jit
+programs of static shape:
+
+- `LatentEncoder`: multi-pass latent accumulation. The reference loops
+  "pick a random 10k subset of under-covered points" until every point is
+  encoded >= 10x (`poco_model.py:202-236`, a data-dependent while loop); we
+  instead run `gen_subsample_manifold_iter` passes over a *random partition*
+  of the cloud — every point is encoded exactly once per pass (>= iter
+  coverage by construction), shapes are static, and each chunk reuses one
+  compiled program.
+- `FieldEvaluator`: evaluates the softmax(p0) - softmax(p1) scalar field
+  (`poco_utils.py:74-82`) at a padded static-size query chunk, with the
+  decoder kNN + (PPSurf) patch extraction fused into the same jit program.
+"""
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppsurf_tpu.ops.graph import build_fkaconv_graph, build_proj_ids
+from ppsurf_tpu.ops.patches import extract_local_patches
+from ppsurf_tpu.train.model import ModelSpec
+
+Array = jax.Array
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class LatentEncoder:
+    """Accumulate per-point latents over deterministic partition passes."""
+
+    def __init__(self, net, spec: ModelSpec, knn_tile: int = 512):
+        self.net = net
+        self.spec = spec
+        self.knn_tile = knn_tile
+
+        @functools.partial(jax.jit, static_argnames=())
+        def encode_chunk(variables, pts_chunk, key):
+            """Encoder forward on one (1, S, 3) subset -> (S, L) latents."""
+            data = {"pts": pts_chunk}
+            data.update(
+                build_fkaconv_graph(pts_chunk, key, segmentation=True, tile=knn_tile)
+            )
+            latents = self.net.apply(variables, data, False, method=self.net.get_latent)
+            return latents[0]
+
+        self._encode_chunk = encode_chunk
+
+    def __call__(
+        self, variables, pts: np.ndarray, key: Array
+    ) -> np.ndarray:
+        """pts: (N, 3) full cloud -> (N, L) averaged latents."""
+        spec = self.spec
+        n = pts.shape[0]
+        s = min(spec.gen_subsample_manifold, n)
+        num_chunks = -(-n // s)
+        padded = num_chunks * s
+
+        latent_sum = None
+        counts = np.zeros((n,), np.float64)
+        pts_j = jnp.asarray(pts)
+
+        for it in range(spec.gen_subsample_manifold_iter):
+            key, perm_key = jax.random.split(key)
+            perm = np.asarray(jax.random.permutation(perm_key, n))
+            # wrap-around padding keeps chunk shapes static
+            perm_padded = np.concatenate([perm, perm[: padded - n]])
+            for c in range(num_chunks):
+                ids = perm_padded[c * s : (c + 1) * s]
+                key, chunk_key = jax.random.split(key)
+                chunk_latent = np.asarray(
+                    self._encode_chunk(variables, pts_j[None, ids], chunk_key),
+                    dtype=np.float64,
+                )
+                if latent_sum is None:
+                    latent_sum = np.zeros((n, chunk_latent.shape[-1]), np.float64)
+                np.add.at(latent_sum, ids, chunk_latent)
+                np.add.at(counts, ids, 1.0)
+
+        return (latent_sum / counts[:, None]).astype(np.float32)
+
+
+class FieldEvaluator:
+    """Static-shape chunked evaluation of the occupancy field."""
+
+    def __init__(
+        self,
+        net,
+        spec: ModelSpec,
+        variables,
+        pts: np.ndarray,  # (N, 3) manifold cloud (decoder support)
+        latents: np.ndarray,  # (N, L)
+        pts_raw: typing.Optional[np.ndarray] = None,  # (R, 3) raw cloud (patches)
+        knn_tile: int = 512,
+    ):
+        self.net = net
+        self.spec = spec
+        self.variables = variables
+        self.chunk = spec.rec_batch_size
+        self.pts = jnp.asarray(pts)[None]  # (1, N, 3)
+        self.latents = jnp.asarray(latents)[None]  # (1, N, L)
+        if spec.is_ppsurf:
+            if pts_raw is None:
+                pts_raw = pts
+            self.pts_raw = jnp.asarray(pts_raw)[None]
+            self.raw_valid = jnp.ones((1, pts_raw.shape[0]), bool)
+        else:
+            self.pts_raw = None
+        self.knn_tile = knn_tile
+
+        spec_k = min(spec.k, pts.shape[0])
+
+        def eval_chunk(variables, pts_all, latents, queries, pts_raw, raw_valid):
+            """queries: (1, C, 3) -> field values (C,)."""
+            data = {
+                "pts": pts_all,
+                "pts_query": queries,
+                "latents": latents,
+                "proj_ids": build_proj_ids(pts_all, queries, k=spec_k, tile=knn_tile),
+            }
+            if spec.is_ppsurf:
+                data["pts_local_ps"] = extract_local_patches(
+                    pts_raw, raw_valid, queries,
+                    num_pts_local=spec.num_pts_local, tile=knn_tile,
+                )
+            logits = self.net.apply(
+                variables, data, method=self.net.from_latent
+            )  # (1, C, 2)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            # p(class 0) - p(class 1): zero-crossing is the surface
+            # (`poco_utils.py:79-81`)
+            return probs[0, :, 0] - probs[0, :, 1]
+
+        self._eval_chunk = jax.jit(eval_chunk)
+
+    def __call__(self, queries: np.ndarray) -> np.ndarray:
+        """queries (M, 3) -> field (M,), evaluated in padded static chunks."""
+        m = queries.shape[0]
+        if m == 0:
+            return np.zeros((0,), np.float32)
+        c = self.chunk
+        out = np.empty((m,), np.float32)
+        for start in range(0, m, c):
+            q = queries[start : start + c]
+            pad = c - q.shape[0]
+            if pad:
+                q = np.concatenate([q, np.zeros((pad, 3), np.float32)])
+            vals = np.asarray(
+                self._eval_chunk(
+                    self.variables, self.pts, self.latents,
+                    jnp.asarray(q)[None],
+                    self.pts_raw if self.pts_raw is not None else self.pts,
+                    self.raw_valid if self.pts_raw is not None else jnp.ones((1, 1), bool),
+                )
+            )
+            out[start : start + c - pad] = vals[: c - pad]
+        return out

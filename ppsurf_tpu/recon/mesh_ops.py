@@ -1,0 +1,108 @@
+"""Mesh cleanup: duplicate/degenerate removal + small-component filtering.
+
+Parity targets: reference `source/base/mesh.py` (`clean_simple_inplace`,
+`remove_small_connected_components` with face-adjacency components and the
+min-6-faces threshold used by reconstruction, `poco_utils.py:104-107`).
+Implemented on numpy + scipy.sparse.csgraph instead of trimesh.
+"""
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+
+from ppsurf_tpu.io.ply import Mesh
+
+
+def merge_duplicate_vertices(mesh: Mesh, digits: int = 10) -> Mesh:
+    """Merge vertices that coincide up to rounding."""
+    if mesh.vertices.shape[0] == 0:
+        return mesh
+    key = np.round(mesh.vertices.astype(np.float64), digits)
+    _, first, inverse = np.unique(
+        key, axis=0, return_index=True, return_inverse=True
+    )
+    verts = mesh.vertices[first]
+    faces = inverse[mesh.faces]
+    colors = mesh.vertex_colors[first] if mesh.vertex_colors is not None else None
+    return Mesh(vertices=verts, faces=faces, vertex_colors=colors)
+
+
+def remove_degenerate_faces(mesh: Mesh) -> Mesh:
+    """Drop faces with repeated vertex indices and exact duplicate faces."""
+    f = mesh.faces
+    if f.shape[0] == 0:
+        return mesh
+    ok = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+    f = f[ok]
+    # duplicate faces (same vertex set)
+    key = np.sort(f, axis=1)
+    _, first = np.unique(key, axis=0, return_index=True)
+    f = f[np.sort(first)]
+    return Mesh(vertices=mesh.vertices, faces=f, vertex_colors=mesh.vertex_colors)
+
+
+def remove_unreferenced_vertices(mesh: Mesh) -> Mesh:
+    if mesh.faces.shape[0] == 0:
+        return Mesh(
+            vertices=np.zeros((0, 3), np.float32),
+            faces=mesh.faces,
+            vertex_colors=None,
+        )
+    used = np.unique(mesh.faces)
+    remap = -np.ones(mesh.vertices.shape[0], dtype=np.int64)
+    remap[used] = np.arange(used.shape[0])
+    colors = mesh.vertex_colors[used] if mesh.vertex_colors is not None else None
+    return Mesh(
+        vertices=mesh.vertices[used],
+        faces=remap[mesh.faces],
+        vertex_colors=colors,
+    )
+
+
+def clean_simple(mesh: Mesh) -> Mesh:
+    """Reference `clean_simple_inplace` (`mesh.py:7-13`): merge duplicate
+    vertices, drop duplicate/degenerate faces."""
+    mesh = merge_duplicate_vertices(mesh)
+    mesh = remove_degenerate_faces(mesh)
+    return mesh
+
+
+def face_connected_components(faces: np.ndarray) -> typing.Tuple[int, np.ndarray]:
+    """Connected components over face adjacency (shared edges)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    n_faces = faces.shape[0]
+    if n_faces == 0:
+        return 0, np.zeros((0,), np.int64)
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    face_id = np.tile(np.arange(n_faces), 3)
+    # group faces by shared edge
+    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    es = edges[order]
+    fs = face_id[order]
+    same = np.all(es[1:] == es[:-1], axis=1)
+    a = fs[:-1][same]
+    b = fs[1:][same]
+    graph = sp.coo_matrix(
+        (np.ones(len(a)), (a, b)), shape=(n_faces, n_faces)
+    )
+    n_comp, labels = connected_components(graph, directed=False)
+    return n_comp, labels
+
+
+def remove_small_connected_components(mesh: Mesh, num_faces: int = 6) -> Mesh:
+    """Keep components with > num_faces faces (reference `mesh.py:16-38`)."""
+    n_comp, labels = face_connected_components(mesh.faces)
+    if n_comp == 0:
+        return mesh
+    counts = np.bincount(labels, minlength=n_comp)
+    keep = counts[labels] > num_faces
+    mesh = Mesh(
+        vertices=mesh.vertices,
+        faces=mesh.faces[keep],
+        vertex_colors=mesh.vertex_colors,
+    )
+    return remove_unreferenced_vertices(mesh)

@@ -1,0 +1,171 @@
+import os
+
+import numpy as np
+import pytest
+
+from ppsurf_tpu.io.ply import Mesh
+from ppsurf_tpu.recon.engine import (
+    create_volume_region_growing,
+    dilate_mask,
+    reconstruct_mesh,
+)
+from ppsurf_tpu.recon.marching_cubes import marching_cubes
+from ppsurf_tpu.recon.mesh_ops import (
+    clean_simple,
+    face_connected_components,
+    remove_small_connected_components,
+)
+
+
+def sphere_field(radius=0.35):
+    """Analytic stand-in for the network field: >0 outside, <0 inside."""
+
+    def eval_field(queries):
+        return (np.linalg.norm(queries, axis=1) - radius).astype(np.float32)
+
+    return eval_field
+
+
+def fibonacci_sphere(n, radius=0.35):
+    i = np.arange(n, dtype=np.float64)
+    phi = np.arccos(1 - 2 * (i + 0.5) / n)
+    theta = np.pi * (1 + 5**0.5) * i
+    return (
+        radius
+        * np.stack(
+            [np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta), np.cos(phi)],
+            axis=1,
+        )
+    ).astype(np.float32)
+
+
+class TestMarchingCubes:
+    def test_sphere_watertight_and_accurate(self):
+        n = 33
+        g = np.mgrid[0:n, 0:n, 0:n].astype(np.float64)
+        center = (n - 1) / 2
+        vol = np.sqrt(((g - center) ** 2).sum(axis=0)) - 10.0
+        verts, faces = marching_cubes(vol, 0.0)
+        d = np.linalg.norm(verts - center, axis=1)
+        assert abs(d.mean() - 10.0) < 0.05
+        edges = np.sort(
+            np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]),
+            axis=1,
+        )
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert np.all(counts == 2)  # watertight
+        v = verts - center
+        svol = (
+            np.einsum(
+                "ij,ij->i", np.cross(v[faces[:, 0]], v[faces[:, 1]]), v[faces[:, 2]]
+            ).sum()
+            / 6
+        )
+        assert svol > 0  # outward orientation
+        assert abs(svol - 4 / 3 * np.pi * 1000.0) / (4 / 3 * np.pi * 1000.0) < 0.02
+
+    def test_nan_cells_treated_as_outside(self):
+        n = 17
+        g = np.mgrid[0:n, 0:n, 0:n].astype(np.float64)
+        center = (n - 1) / 2
+        vol = np.sqrt(((g - center) ** 2).sum(axis=0)) - 5.0
+        vol_nan = vol.copy()
+        vol_nan[vol > 2.5] = np.nan  # only near-surface band evaluated
+        v1, f1 = marching_cubes(vol, 0.0)
+        v2, f2 = marching_cubes(vol_nan, 0.0)
+        assert v2.shape[0] > 0
+        # same surface extracted from the banded volume
+        assert v1.shape == v2.shape
+        np.testing.assert_allclose(np.sort(v1.ravel()), np.sort(v2.ravel()), atol=1e-6)
+
+    def test_empty_field(self):
+        vol = np.ones((8, 8, 8))
+        verts, faces = marching_cubes(vol, 0.0)
+        assert verts.shape[0] == 0 and faces.shape[0] == 0
+
+
+class TestMeshOps:
+    def test_clean_merges_duplicates(self):
+        verts = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 0, 0], [0, 0, 1]], np.float32
+        )
+        faces = np.array([[0, 1, 2], [0, 3, 4], [0, 1, 1]])
+        mesh = clean_simple(Mesh(vertices=verts, faces=faces))
+        assert mesh.vertices.shape[0] == 4  # one duplicate merged
+        assert mesh.faces.shape[0] == 2  # degenerate dropped
+
+    def test_connected_components(self):
+        # two disjoint triangles-pairs
+        verts = np.zeros((8, 3), np.float32)
+        faces = np.array([[0, 1, 2], [1, 2, 3], [4, 5, 6], [5, 6, 7]])
+        n_comp, labels = face_connected_components(faces)
+        assert n_comp == 2
+        assert labels[0] == labels[1] and labels[2] == labels[3]
+        assert labels[0] != labels[2]
+
+    def test_remove_small_components(self):
+        n = 33
+        g = np.mgrid[0:n, 0:n, 0:n].astype(np.float64)
+        center = (n - 1) / 2
+        big = np.sqrt(((g - center) ** 2).sum(axis=0)) - 10.0
+        small = np.sqrt(((g - 3.0) ** 2).sum(axis=0)) - 1.2  # tiny blob
+        vol = np.minimum(big, small)
+        verts, faces = marching_cubes(vol, 0.0)
+        mesh = clean_simple(Mesh(vertices=verts, faces=faces))
+        n_before, _ = face_connected_components(mesh.faces)
+        assert n_before == 2
+        mesh2 = remove_small_connected_components(mesh, num_faces=60)
+        n_after, _ = face_connected_components(mesh2.faces)
+        assert n_after == 1
+
+
+class TestRegionGrowing:
+    def test_dilate_mask(self):
+        m = np.zeros((7, 7, 7), bool)
+        m[3, 3, 3] = True
+        d = dilate_mask(m, 2)
+        assert d.sum() == 125
+        assert d[1, 1, 1] and d[5, 5, 5] and not d[0, 3, 3]
+
+    def test_volume_covers_surface_band_only(self):
+        pts = fibonacci_sphere(2000)
+        calls = []
+
+        def counting_field(q):
+            calls.append(q.shape[0])
+            return sphere_field()(q)
+
+        fracs = {}
+        for res in (33, 97):
+            vol, step, bmin_pad = create_volume_region_growing(
+                counting_field, pts, resolution=res, padding=1
+            )
+            fracs[res] = np.isfinite(vol).mean()
+        # the evaluated band has fixed voxel thickness, so the touched
+        # fraction drops as resolution grows (sparse at production res 257)
+        assert fracs[97] < 0.6 * fracs[33]
+        assert fracs[97] < 0.5
+        # the zero crossing is fully inside the evaluated band
+        verts, faces = marching_cubes(vol, 0.0)
+        assert verts.shape[0] > 0
+
+    def test_full_reconstruction_accuracy(self):
+        pts = fibonacci_sphere(3000)
+        mesh = reconstruct_mesh(
+            sphere_field(), pts, resolution=33, refine_iter=10
+        )
+        assert mesh is not None
+        d = np.linalg.norm(mesh.vertices, axis=1)
+        # refinement drives vertices very close to the analytic radius,
+        # far below one voxel (step ~ 0.022)
+        assert abs(d.mean() - 0.35) < 1e-3
+        assert d.std() < 2e-3
+
+    def test_no_crossing_returns_none(self):
+        pts = fibonacci_sphere(500)
+
+        def positive_field(q):
+            return np.ones(q.shape[0], np.float32)
+
+        mesh = reconstruct_mesh(positive_field, pts, resolution=17, refine_iter=0)
+        assert mesh is None
