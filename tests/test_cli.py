@@ -1,0 +1,116 @@
+import os
+
+import pytest
+import yaml
+
+from ppsurf_tpu.cli import (
+    build_components,
+    deep_merge,
+    find_last_checkpoint,
+    parse_cli,
+    resolve_config,
+    rewrite_rec_args,
+    set_dotted,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestConfigStacking:
+    def test_deep_merge_later_wins(self):
+        a = {"m": {"x": 1, "y": 2}, "k": 1}
+        b = {"m": {"y": 3}, "n": 4}
+        out = deep_merge(a, b)
+        assert out == {"m": {"x": 1, "y": 3}, "k": 1, "n": 4}
+
+    def test_dotted_override_types(self):
+        cfg = {}
+        set_dotted(cfg, "model.init_args.k", "64")
+        set_dotted(cfg, "data.init_args.do_data_augmentation", "False")
+        set_dotted(cfg, "optimizer.init_args.lr", "0.001")
+        assert cfg["model"]["init_args"]["k"] == 64
+        assert cfg["data"]["init_args"]["do_data_augmentation"] is False
+        assert cfg["optimizer"]["init_args"]["lr"] == 0.001
+
+    def test_parse_cli(self):
+        sub, configs, overrides, positional, flags = parse_cli(
+            [
+                "fit", "-c", "a.yaml", "--config", "b.yaml",
+                "--model.init_args.name", "x", "--print_config",
+            ]
+        )
+        assert sub == "fit"
+        assert configs == ["a.yaml", "b.yaml"]
+        assert overrides == [("model.init_args.name", "x")]
+        assert flags["print_config"]
+
+    def test_reference_style_stack(self):
+        cfg = resolve_config(
+            [
+                os.path.join(REPO, "configs/poco.yaml"),
+                os.path.join(REPO, "configs/ppsurf.yaml"),
+                os.path.join(REPO, "configs/ppsurf_50nn.yaml"),
+            ],
+            [("model.init_args.gen_resolution_global", "129")],
+            "fit",
+        )
+        assert cfg["model"]["class_path"] == "ppsurf"
+        assert cfg["model"]["init_args"]["name"] == "ppsurf_50nn"
+        assert cfg["model"]["init_args"]["num_pts_local"] == 50
+        assert cfg["model"]["init_args"]["network_latent_size"] == 256
+        assert cfg["model"]["init_args"]["gen_resolution_global"] == 129
+        assert cfg["trainer"]["default_root_dir"] == "models/ppsurf_50nn"
+
+    def test_build_components(self):
+        cfg = resolve_config(
+            [
+                os.path.join(REPO, "configs/poco.yaml"),
+                os.path.join(REPO, "configs/ppsurf.yaml"),
+                os.path.join(REPO, "configs/ppsurf_mini.yaml"),
+            ],
+            [],
+            "fit",
+        )
+        spec, train_cfg, dm = build_components(cfg)
+        assert spec.kind == "ppsurf"
+        assert spec.name == "ppsurf_mini"
+        assert spec.gen_resolution_global == 129
+        assert spec.network_latent_size == 256
+        assert train_cfg.max_epochs == 150
+        assert train_cfg.lr == 0.001
+        assert train_cfg.lr_milestones == (75, 125)
+        assert dm.batch_size == 10
+        assert dm.paths.in_file.endswith("abc_minimal/testset.txt")
+
+    def test_upstream_reference_configs_also_load(self):
+        """Configs written for the reference repo must keep working."""
+        ref_cfg_dir = "/root/reference/configs"
+        cfg = resolve_config(
+            [
+                os.path.join(ref_cfg_dir, "poco.yaml"),
+                os.path.join(ref_cfg_dir, "ppsurf.yaml"),
+                os.path.join(ref_cfg_dir, "ppsurf_50nn.yaml"),
+            ],
+            [],
+            "fit",
+        )
+        spec, train_cfg, dm = build_components(cfg)
+        assert spec.kind == "ppsurf"
+        assert spec.name == "ppsurf_50nn"
+        assert spec.num_pts_local == 50
+        assert train_cfg.max_epochs == 150
+        assert train_cfg.eps == 1e-5
+
+    def test_rec_rewrite(self):
+        overrides = rewrite_rec_args(["in.ply", "out_dir"], [])
+        keys = dict(overrides)
+        assert keys["data.init_args.in_file"] == "in.ply"
+        assert keys["model.init_args.results_dir"] == "out_dir"
+
+
+def test_find_last_checkpoint(tmp_path):
+    root = str(tmp_path / "m")
+    assert find_last_checkpoint(root) is None
+    os.makedirs(os.path.join(root, "version_0", "checkpoints", "last"))
+    os.makedirs(os.path.join(root, "version_2", "checkpoints", "last"))
+    assert find_last_checkpoint(root).endswith("version_2/checkpoints/last")
