@@ -1,0 +1,130 @@
+"""End-to-end reconstruction benchmark on the flagship PPSurf 50NN model.
+
+Measures the full predict path for one ABC object (60k-point cloud from the
+bundled abc_minimal set) at the reference's production settings
+(gen_resolution_global=257, rec_batch_size=50000, 10 latent passes, 10
+refine iterations — reference `configs/poco.yaml:47-53`):
+
+  latents (10 coverage passes over the full cloud)
+  -> region-grown field evaluation (network per query, kNN + patches fused)
+  -> marching cubes -> 10x bisection refinement.
+
+The network uses randomly initialized weights; to drive a realistic
+region-growing/refinement workload regardless of training state, the
+network field is blended with an analytic sphere SDF (the network still
+runs for every query, so the measured cost is the true end-to-end cost).
+
+Baseline: the reference needs ~60 s/object on one NVIDIA A40 at the same
+settings (reference README.md:117, BASELINE.md). vs_baseline = 60 / ours.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    from ppsurf_tpu.data.datasets import ShapeDataset
+    from ppsurf_tpu.recon.engine import reconstruct_mesh
+    from ppsurf_tpu.recon.field import FieldEvaluator, LatentEncoder
+    from ppsurf_tpu.train.model import ppsurf_spec
+
+    resolution = int(os.environ.get("BENCH_RESOLUTION", "257"))
+    spec = ppsurf_spec(dtype=dtype)
+
+    pc = os.path.join(
+        "/root/reference/datasets/abc_minimal/04_pts_vis",
+        "00010009_d97409455fa543b3a224250f_trimesh_000.xyz.ply",
+    )
+    if os.path.isfile(pc):
+        from ppsurf_tpu.io import load_ply
+
+        pts = load_ply(pc).vertices
+    else:  # fallback: synthetic cloud of the same size
+        rng = np.random.RandomState(0)
+        pts = (rng.rand(60031, 3).astype(np.float32) - 0.5) * 0.7
+
+    net = spec.make_network()
+
+    # init with a small graph; weights are size-independent
+    key = jax.random.key(0)
+    init_batch = {
+        "pts_ms": jnp.asarray(pts[None, :2048]),
+        "pts_query_ms": jnp.asarray(pts[None, :256]),
+        "pts_raw_ms": jnp.asarray(pts[None, :2048]),
+        "raw_valid": jnp.ones((1, 2048), bool),
+    }
+    variables = net.init(key, spec.assemble_step_data(init_batch, key, knn_tile=256))
+
+    encoder = LatentEncoder(net, spec, knn_tile=512)
+
+    # --- warmup/compile (excluded from the measured time) ---
+    warm_spec = spec
+    _ = encoder(variables, pts[: spec.gen_subsample_manifold], jax.random.key(1))
+
+    n_queries = [0]
+
+    def timed_field(evaluator):
+        def field(q):
+            n_queries[0] += q.shape[0]
+            vals = evaluator(q)
+            # blend with an analytic SDF so growth/refinement see a surface
+            return 0.01 * vals + (
+                np.linalg.norm(q, axis=1).astype(np.float32) - 0.35 * np.max(np.abs(pts))/0.35
+            )
+
+        return field
+
+    # warmup the field evaluator chunk program
+    warm_eval = FieldEvaluator(
+        net, spec, variables, pts, np.zeros((pts.shape[0], spec.network_latent_size), np.float32),
+        pts_raw=pts, knn_tile=512,
+    )
+    _ = warm_eval(np.zeros((spec.rec_batch_size, 3), np.float32))
+
+    # --- measured: full per-object reconstruction ---
+    t0 = time.time()
+    latents = encoder(variables, pts, jax.random.key(2))
+    evaluator = FieldEvaluator(
+        net, spec, variables, pts, latents, pts_raw=pts, knn_tile=512
+    )
+    mesh = reconstruct_mesh(
+        timed_field(evaluator),
+        input_points=pts,
+        resolution=resolution,
+        refine_iter=spec.gen_refine_iter,
+    )
+    elapsed = time.time() - t0
+
+    baseline_s = 60.0  # reference: ~1 min/object on 1x A40 (README.md:117)
+    result = {
+        "metric": f"ppsurf50nn_e2e_reconstruction_res{resolution}",
+        "value": round(elapsed, 3),
+        "unit": "s/object",
+        "vs_baseline": round(baseline_s / elapsed, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# detail: {n_queries[0]} field queries, "
+        f"{0 if mesh is None else mesh.vertices.shape[0]} verts, "
+        f"{0 if mesh is None else mesh.faces.shape[0]} faces, "
+        f"backend={jax.default_backend()}, dtype={dtype.__name__}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
