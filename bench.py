@@ -66,7 +66,9 @@ def main() -> int:
         "pts_raw_ms": jnp.asarray(pts[None, :2048]),
         "raw_valid": jnp.ones((1, 2048), bool),
     }
-    variables = net.init(key, spec.assemble_step_data(init_batch, key, knn_tile=256))
+    variables = jax.jit(net.init)(
+        key, spec.assemble_step_data(init_batch, key, knn_tile=256)
+    )
 
     encoder = LatentEncoder(net, spec, knn_tile=512)
 

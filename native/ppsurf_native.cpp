@@ -1,0 +1,344 @@
+// ppsurf_tpu native host library.
+//
+// First-party C++ for the host-side hot paths that the reference delegated
+// to third-party native wheels (SURVEY.md §2.3): marching cubes
+// (skimage.measure.marching_cubes), kd-tree k-NN queries (pykdtree), and
+// face-adjacency connected components (trimesh). Exposed through a plain C
+// ABI consumed via ctypes (no pybind11 in this image).
+//
+// Marching cubes uses the same generated-table construction as the Python
+// reference implementation (ppsurf_tpu/recon/marching_cubes.py): cut-edge
+// pairing per face with the "separate inside corners" rule, cycle tracing,
+// fan triangulation. Both implementations are cross-checked in tests.
+
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <cmath>
+#include <algorithm>
+#include <limits>
+#include <map>
+#include <queue>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Marching cubes
+// ---------------------------------------------------------------------------
+
+namespace {
+
+const int kCorners[8][3] = {
+    {0, 0, 0}, {1, 0, 0}, {1, 1, 0}, {0, 1, 0},
+    {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1},
+};
+const int kEdges[12][2] = {
+    {0, 1}, {1, 2}, {2, 3}, {3, 0},
+    {4, 5}, {5, 6}, {6, 7}, {7, 4},
+    {0, 4}, {1, 5}, {2, 6}, {3, 7},
+};
+// faces as cyclic corner loops, CCW viewed from outside
+const int kFaces[6][4] = {
+    {0, 3, 2, 1}, {4, 5, 6, 7}, {0, 1, 5, 4},
+    {2, 3, 7, 6}, {0, 4, 7, 3}, {1, 2, 6, 5},
+};
+
+struct McTables {
+  int8_t tri[256][16];   // up to 5 triangles, -1 terminated
+  int8_t ntri[256];
+  int edge_axis[12];
+  int edge_base[12][3];
+
+  McTables() {
+    int edge_of[8][8];
+    for (auto& row : edge_of) std::fill(row, row + 8, -1);
+    for (int e = 0; e < 12; ++e) {
+      edge_of[kEdges[e][0]][kEdges[e][1]] = e;
+      edge_of[kEdges[e][1]][kEdges[e][0]] = e;
+      const int* a = kCorners[kEdges[e][0]];
+      const int* b = kCorners[kEdges[e][1]];
+      for (int d = 0; d < 3; ++d) {
+        edge_base[e][d] = std::min(a[d], b[d]);
+        if (a[d] != b[d]) edge_axis[e] = d;
+      }
+    }
+    for (int config = 0; config < 256; ++config) {
+      bool inside[8];
+      for (int i = 0; i < 8; ++i) inside[i] = (config >> i) & 1;
+      int nxt[12];
+      std::fill(nxt, nxt + 12, -1);
+      for (const auto& face : kFaces) {
+        for (int s = 0; s < 4; ++s) {
+          int a = face[s], b = face[(s + 1) % 4];
+          if (inside[a] && !inside[b]) {
+            int exit_edge = edge_of[a][b];
+            int t = s;
+            while (inside[face[((t % 4) + 4) % 4]]) --t;
+            int entry_edge =
+                edge_of[face[((t % 4) + 4) % 4]][face[(((t + 1) % 4) + 4) % 4]];
+            nxt[entry_edge] = exit_edge;
+          }
+        }
+      }
+      int count = 0;
+      std::fill(tri[config], tri[config] + 16, -1);
+      bool used[12] = {false};
+      for (int start = 0; start < 12; ++start) {
+        if (nxt[start] < 0 || used[start]) continue;
+        int cycle[12], len = 0;
+        int cur = start;
+        do {
+          cycle[len++] = cur;
+          used[cur] = true;
+          cur = nxt[cur];
+        } while (cur != start && len < 12);
+        for (int i = 1; i + 1 < len; ++i) {
+          tri[config][3 * count] = static_cast<int8_t>(cycle[0]);
+          tri[config][3 * count + 1] = static_cast<int8_t>(cycle[i]);
+          tri[config][3 * count + 2] = static_cast<int8_t>(cycle[i + 1]);
+          ++count;
+        }
+      }
+      ntri[config] = static_cast<int8_t>(count);
+    }
+  }
+};
+
+const McTables& mc_tables() {
+  static McTables tables;
+  return tables;
+}
+
+}  // namespace
+
+// Extract the iso-surface of a (nx, ny, nz) float64 volume. NaN cells are
+// outside; cells touching a NaN corner emit no geometry (matches the Python
+// implementation). Returns number of vertices/faces written; call first with
+// verts=faces=nullptr to query sizes (two-pass API for simple ctypes use).
+int64_t mc_extract(const double* volume, int64_t nx, int64_t ny, int64_t nz,
+                   double level, float* verts_out, int64_t* faces_out,
+                   int64_t* n_verts_out, int64_t* n_faces_out,
+                   int64_t max_verts, int64_t max_faces) {
+  const McTables& T = mc_tables();
+  auto at = [&](int64_t x, int64_t y, int64_t z) {
+    return volume[(x * ny + y) * nz + z];
+  };
+
+  std::unordered_map<int64_t, int64_t> edge_vertex;
+  edge_vertex.reserve(1 << 16);
+  int64_t n_verts = 0, n_faces = 0;
+  bool counting = (verts_out == nullptr);
+
+  for (int64_t x = 0; x + 1 < nx; ++x) {
+    for (int64_t y = 0; y + 1 < ny; ++y) {
+      for (int64_t z = 0; z + 1 < nz; ++z) {
+        int config = 0;
+        bool valid = true;
+        double vals[8];
+        for (int i = 0; i < 8; ++i) {
+          double v = at(x + kCorners[i][0], y + kCorners[i][1],
+                        z + kCorners[i][2]);
+          if (std::isnan(v)) {
+            valid = false;
+            break;
+          }
+          vals[i] = v;
+          if (v < level) config |= 1 << i;
+        }
+        if (!valid || config == 0 || config == 255) continue;
+
+        int64_t vert_ids[12];
+        for (int e = 0; e < 12; ++e) vert_ids[e] = -1;
+        int nt = T.ntri[config];
+        for (int t = 0; t < 3 * nt; ++t) {
+          int e = T.tri[config][t];
+          if (vert_ids[e] >= 0) continue;
+          int64_t bx = x + T.edge_base[e][0];
+          int64_t by = y + T.edge_base[e][1];
+          int64_t bz = z + T.edge_base[e][2];
+          int ax = T.edge_axis[e];
+          int64_t geid = (((bx * ny + by) * nz + bz) * 3) + ax;
+          auto it = edge_vertex.find(geid);
+          if (it != edge_vertex.end()) {
+            vert_ids[e] = it->second;
+            continue;
+          }
+          int64_t vid = n_verts++;
+          edge_vertex.emplace(geid, vid);
+          vert_ids[e] = vid;
+          if (!counting) {
+            if (vid >= max_verts) return -1;
+            double v0 = at(bx, by, bz);
+            int64_t cx = bx + (ax == 0), cy = by + (ax == 1),
+                    cz = bz + (ax == 2);
+            double v1 = at(cx, cy, cz);
+            double denom = v1 - v0;
+            double tt = (std::abs(denom) > 1e-300) ? (level - v0) / denom : 0.5;
+            tt = std::min(1.0, std::max(0.0, tt));
+            verts_out[3 * vid + 0] = static_cast<float>(bx + (ax == 0) * tt);
+            verts_out[3 * vid + 1] = static_cast<float>(by + (ax == 1) * tt);
+            verts_out[3 * vid + 2] = static_cast<float>(bz + (ax == 2) * tt);
+          }
+        }
+        for (int t = 0; t < nt; ++t) {
+          int64_t fid = n_faces++;
+          if (!counting) {
+            if (fid >= max_faces) return -1;
+            faces_out[3 * fid + 0] = vert_ids[T.tri[config][3 * t]];
+            faces_out[3 * fid + 1] = vert_ids[T.tri[config][3 * t + 1]];
+            faces_out[3 * fid + 2] = vert_ids[T.tri[config][3 * t + 2]];
+          }
+        }
+      }
+    }
+  }
+  *n_verts_out = n_verts;
+  *n_faces_out = n_faces;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// kd-tree (median-split, static) for host-side metric paths
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct KdTree {
+  std::vector<float> pts;  // (n, 3)
+  std::vector<int64_t> idx;
+  std::vector<int64_t> left, right;
+  std::vector<int64_t> node_pt;
+  std::vector<int> axis;
+  int64_t root = -1;
+
+  int64_t build(int64_t lo, int64_t hi, int depth) {
+    if (lo >= hi) return -1;
+    int ax = depth % 3;
+    int64_t mid = (lo + hi) / 2;
+    std::nth_element(
+        idx.begin() + lo, idx.begin() + mid, idx.begin() + hi,
+        [&](int64_t a, int64_t b) { return pts[3 * a + ax] < pts[3 * b + ax]; });
+    int64_t node = node_pt.size();
+    node_pt.push_back(idx[mid]);
+    axis.push_back(ax);
+    left.push_back(-1);
+    right.push_back(-1);
+    int64_t l = build(lo, mid, depth + 1);
+    int64_t r = build(mid + 1, hi, depth + 1);
+    left[node] = l;
+    right[node] = r;
+    return node;
+  }
+
+  void query(const float* q, int k, std::vector<std::pair<float, int64_t>>& heap,
+             int64_t node) const {
+    if (node < 0) return;
+    int64_t p = node_pt[node];
+    float d2 = 0;
+    for (int d = 0; d < 3; ++d) {
+      float diff = q[d] - pts[3 * p + d];
+      d2 += diff * diff;
+    }
+    if (static_cast<int>(heap.size()) < k) {
+      heap.emplace_back(d2, p);
+      std::push_heap(heap.begin(), heap.end());
+    } else if (d2 < heap.front().first) {
+      std::pop_heap(heap.begin(), heap.end());
+      heap.back() = {d2, p};
+      std::push_heap(heap.begin(), heap.end());
+    }
+    int ax = axis[node];
+    float delta = q[ax] - pts[3 * p + ax];
+    int64_t near = delta < 0 ? left[node] : right[node];
+    int64_t far = delta < 0 ? right[node] : left[node];
+    query(q, k, heap, near);
+    if (static_cast<int>(heap.size()) < k || delta * delta < heap.front().first)
+      query(q, k, heap, far);
+  }
+};
+
+}  // namespace
+
+void* kdtree_build(const float* pts, int64_t n) {
+  auto* tree = new KdTree();
+  tree->pts.assign(pts, pts + 3 * n);
+  tree->idx.resize(n);
+  for (int64_t i = 0; i < n; ++i) tree->idx[i] = i;
+  tree->node_pt.reserve(n);
+  tree->root = tree->build(0, n, 0);
+  return tree;
+}
+
+void kdtree_free(void* handle) { delete static_cast<KdTree*>(handle); }
+
+// dists (squared), ids: (nq, k) preallocated
+void kdtree_query(void* handle, const float* queries, int64_t nq, int k,
+                  float* dists, int64_t* ids) {
+  auto* tree = static_cast<KdTree*>(handle);
+  std::vector<std::pair<float, int64_t>> heap;
+  for (int64_t i = 0; i < nq; ++i) {
+    heap.clear();
+    tree->query(queries + 3 * i, k, heap, tree->root);
+    std::sort_heap(heap.begin(), heap.end());
+    for (int j = 0; j < k; ++j) {
+      if (j < static_cast<int>(heap.size())) {
+        dists[i * k + j] = heap[j].first;
+        ids[i * k + j] = heap[j].second;
+      } else {
+        dists[i * k + j] = std::numeric_limits<float>::infinity();
+        ids[i * k + j] = -1;
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// face-adjacency connected components
+// ---------------------------------------------------------------------------
+
+// labels: (n_faces,) preallocated; returns number of components
+int64_t face_components(const int64_t* faces, int64_t n_faces, int64_t* labels) {
+  // union-find over faces, joined by shared (sorted) edges
+  std::vector<int64_t> parent(n_faces);
+  for (int64_t i = 0; i < n_faces; ++i) parent[i] = i;
+  std::function<int64_t(int64_t)> find = [&](int64_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  };
+
+  std::unordered_map<uint64_t, int64_t> edge_owner;
+  edge_owner.reserve(n_faces * 2);
+  auto edge_key = [](int64_t a, int64_t b) {
+    if (a > b) std::swap(a, b);
+    return (static_cast<uint64_t>(a) << 32) | static_cast<uint64_t>(b);
+  };
+  for (int64_t f = 0; f < n_faces; ++f) {
+    for (int e = 0; e < 3; ++e) {
+      int64_t a = faces[3 * f + e];
+      int64_t b = faces[3 * f + (e + 1) % 3];
+      uint64_t key = edge_key(a, b);
+      auto it = edge_owner.find(key);
+      if (it == edge_owner.end()) {
+        edge_owner.emplace(key, f);
+      } else {
+        int64_t ra = find(it->second), rb = find(f);
+        if (ra != rb) parent[ra] = rb;
+      }
+    }
+  }
+  std::map<int64_t, int64_t> remap;
+  for (int64_t f = 0; f < n_faces; ++f) {
+    int64_t r = find(f);
+    auto it = remap.find(r);
+    if (it == remap.end()) it = remap.emplace(r, remap.size()).first;
+    labels[f] = it->second;
+  }
+  return remap.size();
+}
+
+}  // extern "C"

@@ -23,6 +23,11 @@ from ppsurf_tpu.metrics.winding import points_inside
 
 
 def _nn_dists(pts: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    from ppsurf_tpu import native
+
+    if native.available():
+        dists, _ = native.NativeKdTree(pts).query(queries, k=1)
+        return dists[:, 0]
     from scipy.spatial import cKDTree
 
     tree = cKDTree(pts)

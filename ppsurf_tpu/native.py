@@ -1,0 +1,123 @@
+"""ctypes bindings for the first-party C++ host library.
+
+Builds lazily via `make` in native/ if the shared object is missing.
+Every entry point has a pure-Python fallback in the calling module, so the
+framework works without a compiler; with the library, marching cubes on
+257^3 grids and kd-tree metric queries run at native speed on the host.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import typing
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libppsurf_native.so")
+
+_lib: typing.Optional[ctypes.CDLL] = None
+_lib_attempted = False
+
+
+def _load() -> typing.Optional[ctypes.CDLL]:
+    global _lib, _lib_attempted
+    if _lib is not None or _lib_attempted:
+        return _lib
+    _lib_attempted = True
+    if not os.path.isfile(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True,
+                capture_output=True, timeout=180,
+            )
+        except (subprocess.SubprocessError, OSError):
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    i64 = ctypes.c_int64
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+    lib.mc_extract.restype = i64
+    lib.mc_extract.argtypes = [
+        f64p, i64, i64, i64, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(i64), ctypes.POINTER(i64), i64, i64,
+    ]
+    lib.kdtree_build.restype = ctypes.c_void_p
+    lib.kdtree_build.argtypes = [f32p, i64]
+    lib.kdtree_free.argtypes = [ctypes.c_void_p]
+    lib.kdtree_query.argtypes = [ctypes.c_void_p, f32p, i64, ctypes.c_int, f32p, i64p]
+    lib.face_components.restype = i64
+    lib.face_components.argtypes = [i64p, i64, i64p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def marching_cubes_native(
+    volume: np.ndarray, level: float = 0.0
+) -> typing.Optional[typing.Tuple[np.ndarray, np.ndarray]]:
+    lib = _load()
+    if lib is None:
+        return None
+    vol = np.ascontiguousarray(volume, np.float64)
+    nx, ny, nz = vol.shape
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.mc_extract(vol, nx, ny, nz, float(level), None, None,
+                        ctypes.byref(nv), ctypes.byref(nf), 0, 0)
+    if rc != 0:
+        return None
+    verts = np.empty((nv.value, 3), np.float32)
+    faces = np.empty((nf.value, 3), np.int64)
+    rc = lib.mc_extract(
+        vol, nx, ny, nz, float(level),
+        verts.ctypes.data_as(ctypes.c_void_p),
+        faces.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(nv), ctypes.byref(nf), nv.value, nf.value,
+    )
+    if rc != 0:
+        return None
+    return verts, faces
+
+
+class NativeKdTree:
+    def __init__(self, pts: np.ndarray):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._pts = np.ascontiguousarray(pts, np.float32)
+        self._handle = lib.kdtree_build(self._pts, self._pts.shape[0])
+
+    def query(self, queries: np.ndarray, k: int = 1):
+        q = np.ascontiguousarray(queries, np.float32)
+        d2 = np.empty((q.shape[0], k), np.float32)
+        ids = np.empty((q.shape[0], k), np.int64)
+        self._lib.kdtree_query(self._handle, q, q.shape[0], k, d2, ids)
+        return np.sqrt(d2), ids
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.kdtree_free(self._handle)
+            self._handle = None
+
+
+def face_components_native(faces: np.ndarray) -> typing.Optional[typing.Tuple[int, np.ndarray]]:
+    lib = _load()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(faces, np.int64)
+    labels = np.empty((f.shape[0],), np.int64)
+    n = lib.face_components(f, f.shape[0], labels)
+    return int(n), labels

@@ -2,18 +2,26 @@
 
 Replaces the reference's 13+ per-item CPU kd-tree queries
 (`source/poco_utils.py:257-273` `knn`, `source/base/proximity.py:40-89`)
-with tiled brute-force distance + top-k that runs inside jit on TPU.
+with an exact two-stage block-select search that runs inside jit on TPU.
 
-Design notes (TPU-first):
-- The (Q, N) distance tile is produced by one MXU matmul (-2 q·pᵀ) plus
-  rank-1 norm corrections, then `lax.top_k` reduces over N. Queries are
-  processed in fixed-size tiles via `lax.map` so HBM never holds the full
-  (Q, N) matrix.
-- All shapes are static: k and the tile size are Python ints; padded points
-  are excluded with +inf distances via `valid_n` masks.
-- Matches kd-tree semantics: neighbors sorted nearest-first; when
-  k > #points the reference clamps k (`poco_utils.py:259-260`) — we instead
-  require static k and let callers clamp.
+Why not one `lax.top_k` over all N? XLA lowers top_k to a full bitonic sort
+of the N axis (~log^2 N passes) — measured ~0.9 s for 50k queries x 60k
+points on a v5e chip, 20x the cost of the distance computation itself.
+
+Two-stage exact algorithm (TPU-friendly: all passes are dense VPU scans,
+sorts only touch tiny axes):
+1. distances for a query tile (TQ, N) via one MXU matmul + rank-1 norms;
+2. block-mins over blocks of S points -> (TQ, N/S);
+3. select the k blocks with smallest block-min (top_k over N/S only);
+4. gather those k blocks' S distances each and top_k over (TQ, k*S).
+
+Exactness: if an element x of the true top-k lay in an unselected block,
+each of the k selected blocks would hold an element (its min) <= x's block
+min <= x, giving k elements <= x — contradiction. Ties can swap equal
+neighbors, like any kd-tree tie-break.
+
+All shapes are static; padded points are excluded with +inf distances via
+`valid_n` masks.
 """
 from __future__ import annotations
 
@@ -25,23 +33,76 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+BLOCK = 128  # points per block in the two-stage select
+
 
 def _dist2_tile(queries: Array, points: Array) -> Array:
-    """Squared L2 distances (q, n) for one tile; MXU-friendly."""
-    # f32 accumulation: coordinates are ~unit scale, products stay accurate.
+    """Squared L2 distances (q, n); MXU matmul + rank-1 corrections.
+
+    HIGHEST precision: on TPU the default bf16 matmul perturbs distances by
+    ~1e-2 at unit scale, enough to swap non-tied neighbors. The kNN matmul
+    FLOPs are negligible next to the network, so full f32 is the right
+    trade.
+    """
     qn = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (q, 1)
     pn = jnp.sum(points * points, axis=-1, keepdims=True).T  # (1, n)
-    # HIGHEST precision: on TPU the default bf16 matmul perturbs distances by
-    # ~1e-2 at unit scale, enough to swap non-tied neighbors. The kNN FLOPs
-    # are negligible next to the network, so full f32 is the right trade.
     cross = jax.lax.dot_general(
         queries,
         points,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (q, n)
+    )
     return qn + pn - 2.0 * cross
+
+
+def _knn_tile_blockselect(q: Array, points: Array, k: int, valid_n, return_dists):
+    """Exact kNN for one query tile via block-select (see module docstring).
+
+    q: (TQ, 3); points: (Npad, 3) with Npad % BLOCK == 0.
+    """
+    n = points.shape[0]
+    nb = n // BLOCK
+    d2 = _dist2_tile(q, points)  # (TQ, N)
+    if valid_n is not None:
+        d2 = jnp.where(valid_n[None, :], d2, jnp.inf)
+
+    d2b = d2.reshape(q.shape[0], nb, BLOCK)
+    block_min = jnp.min(d2b, axis=-1)  # (TQ, NB)
+
+    num_blocks = min(k, nb)
+    _, blk_idx = jax.lax.top_k(-block_min, num_blocks)  # (TQ, kb)
+
+    # gather the selected blocks' distances: (TQ, kb, BLOCK)
+    cand = jnp.take_along_axis(d2b, blk_idx[:, :, None], axis=1)
+    cand = cand.reshape(q.shape[0], num_blocks * BLOCK)
+    neg_d, cand_pos = jax.lax.top_k(-cand, k)  # nearest first
+
+    # map candidate positions back to global point indices
+    block_of = jnp.take_along_axis(blk_idx, cand_pos // BLOCK, axis=1)
+    gidx = block_of * BLOCK + cand_pos % BLOCK
+
+    if return_dists:
+        return jnp.sqrt(jnp.maximum(-neg_d, 0.0)), gidx
+    return (gidx,)
+
+
+def _pad_points(points: Array, valid_n: typing.Optional[Array]):
+    """Pad the point axis to a BLOCK multiple, extending the valid mask."""
+    n = points.shape[-2]
+    pad = (-n) % BLOCK
+    if pad == 0 and valid_n is not None:
+        return points, valid_n
+    if pad == 0:
+        return points, None
+    widths = [(0, 0)] * points.ndim
+    widths[-2] = (0, pad)
+    points_p = jnp.pad(points, widths)
+    if valid_n is None:
+        valid_n = jnp.ones(points.shape[:-1], bool)
+    vw = [(0, 0)] * valid_n.ndim
+    vw[-1] = (0, pad)
+    return points_p, jnp.pad(valid_n, vw)
 
 
 def _knn_single(
@@ -53,17 +114,14 @@ def _knn_single(
     return_dists: bool,
 ):
     """kNN for one (N,3) cloud / (Q,3) query set."""
+    points, valid_n = _pad_points(points, valid_n)
     num_q = queries.shape[0]
     pad_q = (-num_q) % tile
     queries_padded = jnp.pad(queries, ((0, pad_q), (0, 0)))
     q_tiles = queries_padded.reshape(-1, tile, 3)
 
-    def one_tile(q: Array):
-        d2 = _dist2_tile(q, points)  # (tile, N)
-        if valid_n is not None:
-            d2 = jnp.where(valid_n[None, :], d2, jnp.inf)
-        neg_d, idx = jax.lax.top_k(-d2, k)  # nearest first
-        return (-neg_d, idx) if return_dists else (idx,)
+    def one_tile(q):
+        return _knn_tile_blockselect(q, points, k, valid_n, return_dists)
 
     out = jax.lax.map(one_tile, q_tiles)
     if return_dists:
@@ -71,6 +129,39 @@ def _knn_single(
         idx = out[1].reshape(-1, k)[:num_q]
         return dists, idx
     return out[0].reshape(-1, k)[:num_q]
+
+
+def _knn_batched(points, queries, k, tile, valid_n, return_dists):
+    """Batched kNN: flatten (B, tiles) into one lax.map.
+
+    A vmap over lax.map lowers to batched gathers that run far slower on
+    TPU than indexing the cloud per tile, so we map over (B * tiles) and
+    pick each tile's cloud with a dynamic index instead.
+    """
+    b, num_q = queries.shape[0], queries.shape[1]
+    points, valid_n = _pad_points(points, valid_n)
+    pad_q = (-num_q) % tile
+    queries_padded = jnp.pad(queries, ((0, 0), (0, pad_q), (0, 0)))
+    tiles_per_b = queries_padded.shape[1] // tile
+    q_tiles = queries_padded.reshape(b * tiles_per_b, tile, 3)
+    b_of_tile = jnp.repeat(jnp.arange(b), tiles_per_b)
+
+    def one_tile(args):
+        q, bi = args
+        pts_b = jax.lax.dynamic_index_in_dim(points, bi, 0, keepdims=False)
+        v_b = (
+            jax.lax.dynamic_index_in_dim(valid_n, bi, 0, keepdims=False)
+            if valid_n is not None
+            else None
+        )
+        return _knn_tile_blockselect(q, pts_b, k, v_b, return_dists)
+
+    out = jax.lax.map(one_tile, (q_tiles, b_of_tile))
+    if return_dists:
+        dists = out[0].reshape(b, -1, k)[:, :num_q]
+        idx = out[1].reshape(b, -1, k)[:, :num_q]
+        return dists, idx
+    return out[0].reshape(b, -1, k)[:, :num_q]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile"))
@@ -82,7 +173,7 @@ def knn(points: Array, queries: Array, k: int, tile: int = 512) -> Array:
     """
     if points.ndim == 2:
         return _knn_single(points, queries, k, tile, None, False)
-    return jax.vmap(lambda p, q: _knn_single(p, q, k, tile, None, False))(points, queries)
+    return _knn_batched(points, queries, k, tile, None, False)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "return_dists"))
@@ -102,9 +193,7 @@ def masked_knn(
     """
     if points.ndim == 2:
         return _knn_single(points, queries, k, tile, valid_n, return_dists)
-    return jax.vmap(
-        lambda p, q, v: _knn_single(p, q, k, tile, v, return_dists)
-    )(points, queries, valid_n)
+    return _knn_batched(points, queries, k, tile, valid_n, return_dists)
 
 
 def knn_interp_ids(points: Array, queries: Array) -> Array:

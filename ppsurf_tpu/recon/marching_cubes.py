@@ -114,17 +114,24 @@ _EDGE_CUT, _TRI_TABLE, _TRI_COUNTS = _build_tables()
 
 
 def marching_cubes(
-    volume: np.ndarray, level: float = 0.0
+    volume: np.ndarray, level: float = 0.0, use_native: bool = True
 ) -> typing.Tuple[np.ndarray, np.ndarray]:
     """Extract the iso-surface of a dense 3-D scalar field.
 
     Returns (verts (V, 3) float32 in index space, faces (F, 3) int64).
     NaN cells are treated as above-level (outside), matching how the
     reference's region-grown volume behaves under skimage
-    (`poco_utils.py:87-96`).
+    (`poco_utils.py:87-96`). Dispatches to the C++ implementation
+    (native/ppsurf_native.cpp, same generated tables) when built.
     """
     if volume.ndim != 3:
         raise ValueError("volume must be 3-D")
+    if use_native:
+        from ppsurf_tpu import native
+
+        result = native.marching_cubes_native(volume, level)
+        if result is not None:
+            return result
     vol = np.asarray(volume, dtype=np.float64)
     finite = np.isfinite(vol)
     vol = np.where(finite, vol, np.inf)

@@ -68,7 +68,9 @@ def clean_simple(mesh: Mesh) -> Mesh:
     return mesh
 
 
-def face_connected_components(faces: np.ndarray) -> typing.Tuple[int, np.ndarray]:
+def face_connected_components(
+    faces: np.ndarray, use_native: bool = True
+) -> typing.Tuple[int, np.ndarray]:
     """Connected components over face adjacency (shared edges)."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import connected_components
@@ -76,6 +78,12 @@ def face_connected_components(faces: np.ndarray) -> typing.Tuple[int, np.ndarray
     n_faces = faces.shape[0]
     if n_faces == 0:
         return 0, np.zeros((0,), np.int64)
+    if use_native:
+        from ppsurf_tpu import native
+
+        result = native.face_components_native(faces)
+        if result is not None:
+            return result
     edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
     edges = np.sort(edges, axis=1)
     face_id = np.tile(np.arange(n_faces), 3)

@@ -207,7 +207,9 @@ class Trainer:
             jax.tree_util.tree_map(jnp.asarray, example_batch), key,
             knn_tile=self.config.knn_tile,
         )
-        variables = self.net.init(key, data)
+        # jit the initializer: unjitted flax init dispatches op-by-op, which
+        # is pathologically slow through a remote-device transport
+        variables = jax.jit(self.net.init)(key, data)
         self.tx, self.schedule = make_optimizer(self.config, self._steps_per_epoch)
         opt_state = self.tx.init(variables["params"])
         state = TrainState(
