@@ -105,6 +105,15 @@ def _pad_points(points: Array, valid_n: typing.Optional[Array]):
     return points_p, jnp.pad(valid_n, vw)
 
 
+def _use_pallas(k: int, return_dists: bool) -> bool:
+    """Dispatch to the fused Pallas kernel on TPU (ids-only, k <= 128)."""
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:  # pragma: no cover
+        return False
+    return backend == "tpu" and not return_dists and k <= 128
+
+
 def _knn_single(
     points: Array,
     queries: Array,
@@ -114,6 +123,10 @@ def _knn_single(
     return_dists: bool,
 ):
     """kNN for one (N,3) cloud / (Q,3) query set."""
+    if _use_pallas(k, return_dists):
+        from ppsurf_tpu.ops.knn_pallas import default_tile, knn_pallas_single
+
+        return knn_pallas_single(points, queries, valid_n, k, tq=default_tile(k))
     points, valid_n = _pad_points(points, valid_n)
     num_q = queries.shape[0]
     pad_q = (-num_q) % tile
@@ -138,6 +151,17 @@ def _knn_batched(points, queries, k, tile, valid_n, return_dists):
     TPU than indexing the cloud per tile, so we map over (B * tiles) and
     pick each tile's cloud with a dynamic index instead.
     """
+    if _use_pallas(k, return_dists):
+        from ppsurf_tpu.ops.knn_pallas import default_tile, knn_pallas_single
+
+        tq = default_tile(k)
+        if valid_n is None:
+            valid_n = jnp.ones(points.shape[:-1], bool)
+        return jax.lax.map(
+            lambda args: knn_pallas_single(args[0], args[1], args[2], k, tq=tq),
+            (points, queries, valid_n),
+        )
+
     b, num_q = queries.shape[0], queries.shape[1]
     points, valid_n = _pad_points(points, valid_n)
     pad_q = (-num_q) % tile

@@ -2,24 +2,31 @@
 
 The hot op of the whole framework (SURVEY.md §7 hard part 1): every train
 step and every reconstruction query chunk runs kNN against 10k-60k points.
-XLA's `lax.top_k` lowers to a full bitonic sort over N (~0.9 s per 50k x
-60k chunk on v5e) and its reshape+reduce layouts for two-stage selection
-are unpredictable (measured up to 3.3 s). This kernel controls the loop
-structure explicitly:
+XLA's `lax.top_k` lowers to a full bitonic sort over N (~0.9 s for 50k
+queries x 60k points on v5e) and its reshape+reduce layouts for two-stage
+selection are unpredictable (measured up to 3.3 s). This kernel controls
+the loop structure explicitly:
 
-stage 1: stream point blocks of S=128 through VMEM, computing the distance
-         tile on the MXU and only materializing per-block minima
-         (TQ, NB) — the (TQ, N) distance matrix never exists.
+stage 1: stream 128-point blocks through VMEM, computing the distance tile
+         on the MXU and materializing only per-block minima — the (TQ, N)
+         distance matrix never exists.
 stage 2: select the k blocks with smallest block-min per query by k-pass
-         min extraction over the tiny (TQ, NB) array. Exact: if a true
-         k-nearest element lay in an unselected block, the k selected
-         blocks would each contain an element no larger than it.
+         min extraction over the tiny (nb, TQ) block-min array. Exact: if
+         a true k-nearest element lay in an unselected block, the k
+         selected blocks would each contain an element no larger than it.
 stage 3: gather each query's selected blocks with a one-hot MXU matmul
          (regular compute instead of irregular memory gathers), recompute
-         the distances, and extract the final k nearest by iterative
-         min extraction over the (TQ, k*S) candidates.
+         the distances, and extract the final k nearest by iterative min
+         extraction over the (TQ, k*S) candidates.
 
-All ops are dense VPU/MXU work; no sorts, no gathers, no dynamic shapes.
+Data layout (Mosaic-friendly):
+- points arrive coordinate-major as (4, Npad): x, y, z rows plus a 4th
+  "padding" row w = sqrt(penalty), so padded points acquire d2 += penalty
+  with no separate mask array; lane-dim slices land on 128 boundaries.
+- a block-major copy (nb, 4*S) = [x_0..x_S | y | z | w] feeds the one-hot
+  gather; static column slices split the coordinates back out.
+- all loop-carried writes are row stores at dynamic sublane positions
+  (`ref[i, :]`) — dynamic *lane* indexing is never used.
 """
 from __future__ import annotations
 
@@ -31,67 +38,70 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 S = 128  # points per block (lane width)
-NEG = 1e30
+PAD_PENALTY = 1e12  # w = sqrt(penalty); finite so 0*w stays 0 in matmuls
 
 
-def _knn_kernel(q_ref, pts_ref, pad_ref, out_ref, bm_ref, blkids_ref, cand_ref,
-                candi_ref, *, k: int, nb: int, tq: int):
-    """One query tile: q (TQ,3), pts (NB*S,3), pad (NB*S,) {0,+inf}."""
+def _knn_kernel(q_ref, pts_cm_ref, pts_blk_ref, out_ref,
+                bm_ref, blkids_ref, cand_ref, candi_ref, *,
+                k: int, nb: int, tq: int):
+    """One query tile.
+
+    q (TQ, 3); pts_cm (4, NB*S) coordinate-major; pts_blk (NB, 4*S)
+    block-major. out (k, TQ) — transposed by the caller. Scratch: bm
+    (NB, TQ), blkids (kb, TQ), cand/candi (TQ, kb*S).
+    """
     q = q_ref[:]  # (TQ, 3)
     qn = jnp.sum(q * q, axis=1, keepdims=True)  # (TQ, 1)
 
     # ---- stage 1: block minima ----
     def block_min(j, _):
-        p = pts_ref[pl.ds(j * S, S), :]  # (S, 3)
-        pad = pad_ref[pl.ds(j * S, S)]  # (S,)
-        pn = jnp.sum(p * p, axis=1)[None, :]  # (1, S)
+        p4 = pts_cm_ref[:, pl.ds(pl.multiple_of(j * S, S), S)]  # (4, S)
+        pn = jnp.sum(p4 * p4, axis=0)[None, :]  # (1, S) includes w^2 penalty
         cross = jax.lax.dot_general(
-            q, p, (((1,), (1,)), ((), ())),
+            q, p4[0:3, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (TQ, S)
-        d2 = qn + pn - 2.0 * cross + pad[None, :]
-        bm_ref[:, j] = jnp.min(d2, axis=1)
+        d2 = qn + pn - 2.0 * cross
+        bm_ref[j, :] = jnp.min(d2, axis=1)
         return 0
 
     jax.lax.fori_loop(0, nb, block_min, 0)
 
-    # ---- stage 2: k best blocks per query (iterative extraction) ----
+    # ---- stage 2: k best blocks per query ----
     kb = min(k, nb)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tq, nb), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (nb, tq), 0)
 
-    def pick_block(i, bm):
-        m = jnp.min(bm, axis=1, keepdims=True)  # (TQ, 1)
-        is_min = bm <= m
-        # first index achieving the min (ref store: Mosaic has no scatter)
-        idx = jnp.min(jnp.where(is_min, col, nb), axis=1)  # (TQ,)
-        blkids_ref[:, i] = idx
-        return jnp.where(col == idx[:, None], NEG, bm)  # mask out the winner
+    def pick_block(i, bm):  # bm: (nb, tq)
+        m = jnp.min(bm, axis=0, keepdims=True)  # (1, TQ)
+        idx = jnp.min(jnp.where(bm <= m, row, nb), axis=0)  # (TQ,)
+        blkids_ref[i, :] = idx
+        return jnp.where(row == idx[None, :], jnp.float32(PAD_PENALTY * 4), bm)
 
     jax.lax.fori_loop(0, kb, pick_block, bm_ref[:])
 
-    # ---- stage 3: gather selected blocks via one-hot matmul, recompute ----
-    pts_flat = pts_ref[:].reshape(nb, S * 3)
-    pad_flat = pad_ref[:].reshape(nb, S)
+    # ---- stage 3: one-hot gather selected blocks, recompute distances ----
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, S), 1)
+    brow = jax.lax.broadcasted_iota(jnp.int32, (tq, nb), 1)
+    qx = q[:, 0:1]
+    qy = q[:, 1:2]
+    qz = q[:, 2:3]
 
     def fill_slot(s, _):
-        bid = blkids_ref[:, s]  # (TQ,)
-        onehot = (col == bid[:, None]).astype(jnp.float32)  # (TQ, NB)
-        gathered = jax.lax.dot_general(
-            onehot, pts_flat, (((1,), (0,)), ((), ())),
+        bid = blkids_ref[s, :]  # (TQ,)
+        onehot = (brow == bid[:, None]).astype(jnp.float32)  # (TQ, NB)
+        g = jax.lax.dot_general(
+            onehot, pts_blk_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        ).reshape(tq, S, 3)
-        gpad = jax.lax.dot_general(
-            onehot, pad_flat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (TQ, S)
-        diff = gathered - q[:, None, :]
-        d2 = jnp.sum(diff * diff, axis=2) + gpad  # (TQ, S)
-        cand_ref[:, pl.ds(s * S, S)] = d2
-        candi_ref[:, pl.ds(s * S, S)] = bid[:, None] * S + jax.lax.broadcasted_iota(
-            jnp.int32, (tq, S), 1
-        )
+        )  # (TQ, 4*S) block-major coords
+        gx = g[:, 0 * S : 1 * S]
+        gy = g[:, 1 * S : 2 * S]
+        gz = g[:, 2 * S : 3 * S]
+        gw = g[:, 3 * S : 4 * S]
+        d2 = (gx - qx) ** 2 + (gy - qy) ** 2 + (gz - qz) ** 2 + gw * gw
+        cand_ref[:, pl.ds(pl.multiple_of(s * S, S), S)] = d2
+        candi_ref[:, pl.ds(pl.multiple_of(s * S, S), S)] = bid[:, None] * S + lane
         return 0
 
     jax.lax.fori_loop(0, kb, fill_slot, 0)
@@ -99,30 +109,48 @@ def _knn_kernel(q_ref, pts_ref, pad_ref, out_ref, bm_ref, blkids_ref, cand_ref,
     # ---- final: k-pass extraction over (TQ, kb*S) candidates ----
     ncand = kb * S
     ccol = jax.lax.broadcasted_iota(jnp.int32, (tq, ncand), 1)
+    candi = candi_ref[:]
 
     def pick(i, cand):
         m = jnp.min(cand, axis=1, keepdims=True)
-        is_min = cand <= m
-        pos = jnp.min(jnp.where(is_min, ccol, ncand), axis=1)  # (TQ,)
+        pos = jnp.min(jnp.where(cand <= m, ccol, ncand), axis=1)  # (TQ,)
         sel = ccol == pos[:, None]
-        gidx = jnp.sum(jnp.where(sel, candi_ref[:], 0), axis=1)
-        out_ref[:, i] = gidx
-        return jnp.where(sel, NEG, cand)
+        out_ref[i, :] = jnp.sum(jnp.where(sel, candi, 0), axis=1)
+        return jnp.where(sel, jnp.float32(PAD_PENALTY * 4), cand)
 
-    jax.lax.fori_loop(0, k, pick, cand_ref[:], unroll=False)
+    jax.lax.fori_loop(0, k, pick, cand_ref[:])
+
+
+def default_tile(k: int) -> int:
+    """Query-tile size that keeps cand/candi scratch inside VMEM."""
+    if k <= 16:
+        return 256
+    if k <= 50:
+        return 128
+    return 64
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq"))
-def knn_pallas_single(points, queries, pad_dist, k: int, tq: int = 256):
+def knn_pallas_single(points, queries, valid, k: int, tq: int = 128):
     """Exact kNN ids (Q, k) for one cloud.
 
-    points: (Npad, 3) f32 with Npad % 128 == 0; pad_dist: (Npad,) f32
-    additive mask: 0 for valid points, a LARGE FINITE value (1e30) for
-    padding — +inf would produce 0*inf = NaN inside the one-hot gather
-    matmul; queries: (Q, 3) f32.
+    points: (N, 3) f32; valid: (N,) bool mask (True = real point) or None;
+    queries: (Q, 3) f32. Padding to block multiples happens here.
     """
-    npad = points.shape[0]
+    n = points.shape[0]
+    pad_n = (-n) % S
+    npad = n + pad_n
+    pts = jnp.pad(points, ((0, pad_n), (0, 0)))
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    valid_p = jnp.pad(valid, (0, pad_n))
+    w = jnp.where(valid_p, 0.0, jnp.sqrt(jnp.float32(PAD_PENALTY)))
+
+    pts_cm = jnp.concatenate([pts.T, w[None, :]], axis=0)  # (4, Npad)
     nb = npad // S
+    # block-major layout (nb, 4*S): [x block | y block | z block | w block]
+    pts_blk = pts_cm.reshape(4, nb, S).transpose(1, 0, 2).reshape(nb, 4 * S)
+
     num_q = queries.shape[0]
     pad_q = (-num_q) % tq
     qp = jnp.pad(queries, ((0, pad_q), (0, 0)))
@@ -134,16 +162,16 @@ def knn_pallas_single(points, queries, pad_dist, k: int, tq: int = 256):
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tq, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((npad, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((npad,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 4 * S), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tq, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((qp.shape[0], k), jnp.int32),
+        out_specs=pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, qp.shape[0]), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((tq, nb), jnp.float32),
-            pltpu.VMEM((tq, kb), jnp.int32),
+            pltpu.VMEM((nb, tq), jnp.float32),
+            pltpu.VMEM((kb, tq), jnp.int32),
             pltpu.VMEM((tq, kb * S), jnp.float32),
             pltpu.VMEM((tq, kb * S), jnp.int32),
         ],
-    )(qp, points, pad_dist)
-    return out[:num_q]
+    )(qp, pts_cm, pts_blk)
+    return out.T[:num_q]
