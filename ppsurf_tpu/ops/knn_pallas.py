@@ -42,13 +42,15 @@ PAD_PENALTY = 1e12  # w = sqrt(penalty); finite so 0*w stays 0 in matmuls
 
 
 def _knn_kernel(q_ref, pts_cm_ref, pts_blk_ref, out_ref,
-                bm_ref, blkids_ref, cand_ref, candi_ref, *,
+                bm_ref, blkids_ref, cand_ref, *,
                 k: int, nb: int, tq: int):
     """One query tile.
 
     q (TQ, 3); pts_cm (4, NB*S) coordinate-major; pts_blk (NB, 4*S)
     block-major. out (k, TQ) — transposed by the caller. Scratch: bm
-    (NB, TQ), blkids (kb, TQ), cand/candi (TQ, kb*S).
+    (NB, TQ), blkids (kb, TQ), cand (TQ, kb*S). Global point ids are
+    reconstructed from blkids at extraction time (no candi buffer), which
+    halves the candidate VMEM footprint.
     """
     q = q_ref[:]  # (TQ, 3)
     qn = jnp.sum(q * q, axis=1, keepdims=True)  # (TQ, 1)
@@ -81,7 +83,6 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_ref, out_ref,
     jax.lax.fori_loop(0, kb, pick_block, bm_ref[:])
 
     # ---- stage 3: one-hot gather selected blocks, recompute distances ----
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, S), 1)
     brow = jax.lax.broadcasted_iota(jnp.int32, (tq, nb), 1)
     qx = q[:, 0:1]
     qy = q[:, 1:2]
@@ -101,7 +102,6 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_ref, out_ref,
         gw = g[:, 3 * S : 4 * S]
         d2 = (gx - qx) ** 2 + (gy - qy) ** 2 + (gz - qz) ** 2 + gw * gw
         cand_ref[:, pl.ds(pl.multiple_of(s * S, S), S)] = d2
-        candi_ref[:, pl.ds(pl.multiple_of(s * S, S), S)] = bid[:, None] * S + lane
         return 0
 
     jax.lax.fori_loop(0, kb, fill_slot, 0)
@@ -109,25 +109,29 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_ref, out_ref,
     # ---- final: k-pass extraction over (TQ, kb*S) candidates ----
     ncand = kb * S
     ccol = jax.lax.broadcasted_iota(jnp.int32, (tq, ncand), 1)
-    candi = candi_ref[:]
+    blkids = blkids_ref[:]  # (kb, TQ)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (kb, tq), 0)
 
     def pick(i, cand):
         m = jnp.min(cand, axis=1, keepdims=True)
         pos = jnp.min(jnp.where(cand <= m, ccol, ncand), axis=1)  # (TQ,)
         sel = ccol == pos[:, None]
-        out_ref[i, :] = jnp.sum(jnp.where(sel, candi, 0), axis=1)
+        # global id = blkids[pos // S, q] * S + pos % S, via a dense
+        # sublane reduction (no per-lane gather)
+        slot = pos // S  # (TQ,)
+        blk = jnp.sum(jnp.where(srow == slot[None, :], blkids, 0), axis=0)
+        out_ref[i, :] = blk * S + pos % S
         return jnp.where(sel, jnp.float32(PAD_PENALTY * 4), cand)
 
     jax.lax.fori_loop(0, k, pick, cand_ref[:])
 
 
 def default_tile(k: int) -> int:
-    """Query-tile size that keeps cand/candi scratch inside VMEM."""
-    if k <= 16:
-        return 256
-    if k <= 50:
-        return 128
-    return 64
+    """Query-tile size that keeps the candidate scratch inside VMEM.
+
+    Must be a multiple of 128 (the transposed output's lane width).
+    """
+    return 256 if k <= 50 else 128
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq"))
@@ -171,7 +175,6 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128):
             pltpu.VMEM((nb, tq), jnp.float32),
             pltpu.VMEM((kb, tq), jnp.int32),
             pltpu.VMEM((tq, kb * S), jnp.float32),
-            pltpu.VMEM((tq, kb * S), jnp.int32),
         ],
     )(qp, pts_cm, pts_blk)
     return out.T[:num_q]
