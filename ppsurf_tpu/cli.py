@@ -168,6 +168,7 @@ def build_components(cfg: dict):
         default_root_dir=trainer.get("default_root_dir", f"models/{spec.name}"),
         num_devices=None,
         debug=bool(cfg.get("debug", False) or model_args.get("debug", False)),
+        profiler=trainer.get("profiler"),
     )
 
     datamodule = OccupancyDataModule(

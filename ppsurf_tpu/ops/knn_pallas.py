@@ -56,15 +56,13 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_ref, out_ref,
     qn = jnp.sum(q * q, axis=1, keepdims=True)  # (TQ, 1)
 
     # ---- stage 1: block minima ----
-    # HIGH precision (3-pass bf16) keeps block-min ordering to ~1e-7
-    # relative — selection stays exact in practice, at half HIGHEST's cost.
     def block_min(j, _):
         p4 = pts_cm_ref[:, pl.ds(pl.multiple_of(j * S, S), S)]  # (4, S)
         pn = jnp.sum(p4 * p4, axis=0)[None, :]  # (1, S) includes w^2 penalty
         cross = jax.lax.dot_general(
             q, p4[0:3, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (TQ, S)
         d2 = qn + pn - 2.0 * cross
         bm_ref[j, :] = jnp.min(d2, axis=1)

@@ -57,6 +57,7 @@ class TrainConfig:
     num_devices: typing.Optional[int] = None
     knn_tile: int = 512
     debug: bool = False  # enables jax NaN-checking (reference --debug)
+    profiler: typing.Optional[str] = None  # 'jax' -> trace early steps
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -283,14 +284,27 @@ class Trainer:
         global_step = int(jax.device_get(state.step))
         t_start = time.time()
 
+        # profiler preset: trace steps 2-4 of the first epoch into the run
+        # dir (replaces the reference's PyTorchProfiler, `configs/profiler.yaml`)
+        profile_window = (2, 5) if cfg.profiler == "jax" else None
+        profiling = False
+
         for epoch in range(cfg.max_epochs):
             for batch in datamodule.epoch_batches(train_ds, rng, shuffle=True):
+                if profile_window and global_step == profile_window[0]:
+                    jax.profiler.start_trace(os.path.join(self.version_dir, "profile"))
+                    profiling = True
                 key, step_key = jax.random.split(key)
                 sharded = shard_batch(
                     {k: v for k, v in batch.items() if k != "dist_ms"}, self.mesh
                 )
                 state, loss, conf = train_step(state, sharded, step_key)
                 global_step += 1
+                if profiling and global_step >= profile_window[1]:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    profile_window = None
                 if global_step % cfg.log_every_n_steps == 0:
                     metrics = metrics_from_confusion(jax.device_get(conf))
                     self._log_scalars(
