@@ -67,6 +67,37 @@ def _load_stl_vertices(path: str) -> np.ndarray:
     return tris["v"].reshape(-1, 3).astype(np.float32)
 
 
+def load_pcd(file_in: str) -> np.ndarray:
+    """Blensor-scan PCD reader (ascii), parity: reference
+    `source/base/point_cloud.py:107-162` `load_pcd` — reads x/y/z columns
+    of an ascii PCD as produced by Blensor range scans."""
+    with open(file_in, "r", errors="ignore") as fp:
+        lines = fp.readlines()
+    fields = ["x", "y", "z"]
+    data_start = 0
+    col_names: typing.List[str] = []
+    for i, line in enumerate(lines):
+        t = line.strip().split()
+        if not t:
+            continue
+        if t[0].upper() == "FIELDS":
+            col_names = t[1:]
+        elif t[0].upper() == "DATA":
+            if len(t) > 1 and t[1].lower() != "ascii":
+                raise ValueError("only ascii PCD supported")
+            data_start = i + 1
+            break
+    if not col_names:
+        col_names = fields
+    cols = [col_names.index(f) for f in fields if f in col_names]
+    rows = []
+    for line in lines[data_start:]:
+        t = line.split()
+        if len(t) >= 3:
+            rows.append([float(t[c]) for c in cols])
+    return np.asarray(rows, dtype=np.float32)
+
+
 def load_pts(pts_file: str) -> np.ndarray:
     """Load points (N, >=3) from any supported format.
 
@@ -78,6 +109,8 @@ def load_pts(pts_file: str) -> np.ndarray:
     elif file_ext == ".npz":
         arrs = np.load(pts_file)
         pts = arrs["arr_0"]
+    elif file_ext == ".pcd":
+        pts = load_pcd(pts_file)
     elif file_ext == ".xyz":
         pts = load_xyz(pts_file)
     elif file_ext == ".ply":

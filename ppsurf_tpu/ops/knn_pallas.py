@@ -55,20 +55,28 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_ref, out_ref,
     q = q_ref[:]  # (TQ, 3)
     qn = jnp.sum(q * q, axis=1, keepdims=True)  # (TQ, 1)
 
-    # ---- stage 1: block minima ----
-    def block_min(j, _):
-        p4 = pts_cm_ref[:, pl.ds(pl.multiple_of(j * S, S), S)]  # (4, S)
-        pn = jnp.sum(p4 * p4, axis=0)[None, :]  # (1, S) includes w^2 penalty
+    # ---- stage 1: block minima, 8 blocks per MXU matmul ----
+    # one (TQ, 3) x (3, 8*S) matmul amortizes per-iteration latency over 8
+    # blocks; the 8 per-block minima come from static lane slices and are
+    # written with one aligned 8-row store.
+    G = 8  # blocks per group; nb is padded to a multiple of 8 by the caller
+
+    def block_min_group(jg, _):
+        p4 = pts_cm_ref[:, pl.ds(pl.multiple_of(jg * (G * S), G * S), G * S)]
+        pn = jnp.sum(p4 * p4, axis=0)[None, :]  # (1, G*S) includes w^2
         cross = jax.lax.dot_general(
             q, p4[0:3, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (TQ, S)
+        )  # (TQ, G*S)
         d2 = qn + pn - 2.0 * cross
-        bm_ref[j, :] = jnp.min(d2, axis=1)
+        mins = [
+            jnp.min(d2[:, g * S : (g + 1) * S], axis=1) for g in range(G)
+        ]
+        bm_ref[pl.ds(pl.multiple_of(jg * G, G), G), :] = jnp.stack(mins, axis=0)
         return 0
 
-    jax.lax.fori_loop(0, nb, block_min, 0)
+    jax.lax.fori_loop(0, nb // G, block_min_group, 0)
 
     # ---- stage 2: k best blocks per query ----
     kb = min(k, nb)
@@ -145,7 +153,7 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128):
     queries: (Q, 3) f32. Padding to block multiples happens here.
     """
     n = points.shape[0]
-    pad_n = (-n) % S
+    pad_n = (-n) % (8 * S)  # pad to 8-block groups for the stage-1 matmul
     npad = n + pad_n
     pts = jnp.pad(points, ((0, pad_n), (0, 0)))
     if valid is None:
