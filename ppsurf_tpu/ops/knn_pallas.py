@@ -41,35 +41,34 @@ S = 128  # points per block (lane width)
 PAD_PENALTY = 1e12  # w = sqrt(penalty); finite so 0*w stays 0 in matmuls
 
 
-def _knn_kernel(q_ref, pts_cm_ref, pts_blk_ref, out_ref,
+def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, out_ref,
                 bm_ref, blkids_ref, cand_ref, *,
                 k: int, nb: int, tq: int):
     """One query tile.
 
-    q (TQ, 3); pts_cm (4, NB*S) coordinate-major; pts_blk (NB, 4*S)
-    block-major. out (k, TQ) — transposed by the caller. Scratch: bm
-    (NB, TQ), blkids (kb, TQ), cand (TQ, kb*S). Global point ids are
+    q (TQ, 3); pts_cm (4, NB*S) coordinate-major; pts_blk_t (4*S, NB)
+    transposed block-major f32. out (k, TQ) — transposed by the caller. Scratch: bm
+    (NB, TQ), blkids (kb, TQ), cand (kb*S, TQ). Global point ids are
     reconstructed from blkids at extraction time (no candi buffer), which
     halves the candidate VMEM footprint.
     """
     q = q_ref[:]  # (TQ, 3)
-    qn = jnp.sum(q * q, axis=1, keepdims=True)  # (TQ, 1)
 
-    # ---- stage 1: block minima, 8 blocks per MXU matmul ----
-    # one (TQ, 3) x (3, 8*S) matmul amortizes per-iteration latency over 8
-    # blocks; the 8 per-block minima come from static lane slices and are
-    # written with one aligned 8-row store.
+    # ---- stage 1: block minima, 8 blocks per pass ----
+    # distances via direct elementwise differences on the VPU: exact f32.
+    # (A HIGHEST-precision MXU matmul here was observed to lose ~1e-3 on
+    # this shape under Mosaic, silently reordering near-tied blocks.)
     G = 8  # blocks per group; nb is padded to a multiple of 8 by the caller
+    qx = q[:, 0:1]
+    qy = q[:, 1:2]
+    qz = q[:, 2:3]
 
     def block_min_group(jg, _):
         p4 = pts_cm_ref[:, pl.ds(pl.multiple_of(jg * (G * S), G * S), G * S)]
-        pn = jnp.sum(p4 * p4, axis=0)[None, :]  # (1, G*S) includes w^2
-        cross = jax.lax.dot_general(
-            q, p4[0:3, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (TQ, G*S)
-        d2 = qn + pn - 2.0 * cross
+        dx = p4[0:1, :] - qx  # (TQ, G*S)
+        dy = p4[1:2, :] - qy
+        dz = p4[2:3, :] - qz
+        d2 = dx * dx + dy * dy + dz * dz + p4[3:4, :] * p4[3:4, :]
         mins = [
             jnp.min(d2[:, g * S : (g + 1) * S], axis=1) for g in range(G)
         ]
@@ -91,42 +90,49 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_ref, out_ref,
     jax.lax.fori_loop(0, kb, pick_block, bm_ref[:])
 
     # ---- stage 3: one-hot gather selected blocks, recompute distances ----
-    brow = jax.lax.broadcasted_iota(jnp.int32, (tq, nb), 1)
-    qx = q[:, 0:1]
-    qy = q[:, 1:2]
-    qz = q[:, 2:3]
+    # transposed throughout: candidates live as (kb*S, TQ) so every
+    # loop-carried store is an aligned dynamic-*sublane* row store —
+    # dynamic lane-offset stores were observed to miscompile under Mosaic.
+    nbrow = jax.lax.broadcasted_iota(jnp.int32, (nb, tq), 0)
+    qxT = q[:, 0][None, :]  # (1, TQ)
+    qyT = q[:, 1][None, :]
+    qzT = q[:, 2][None, :]
+    blkids_all = blkids_ref[:]  # (kb, TQ) read once after stage 2
+    srow_kb = jax.lax.broadcasted_iota(jnp.int32, (min(k, nb), tq), 0)
 
     def fill_slot(s, _):
-        bid = blkids_ref[s, :]  # (TQ,)
-        # one-hot gather in ONE bf16 matmul pass: the one-hot matrix is
-        # exact in bf16 and the coordinates are split hi/lo (x = hi + lo
-        # with hi = bf16(x)), so the recovered f32 coords are exact — 3x
-        # cheaper than a HIGHEST-precision f32 gather.
-        onehot = (brow == bid[:, None]).astype(jnp.bfloat16)  # (TQ, NB)
+        # row s of blkids via dense masked reduction (dynamic sublane reads
+        # inside the loop miscompiled on some Mosaic versions)
+        bid = jnp.sum(jnp.where(srow_kb == s, blkids_all, 0), axis=0)  # (TQ,)
+        # one-hot gather as an f32 HIGHEST matmul: the one-hot selects each
+        # query's block column; bf16 variants lost the low coordinate bits
+        # under Mosaic, perturbing candidate distances by ~1e-3.
+        onehot_t = (nbrow == bid[None, :]).astype(jnp.float32)  # (NB, TQ)
         g = jax.lax.dot_general(
-            onehot, pts_blk_ref[:], (((1,), (0,)), ((), ())),
+            pts_blk_t_ref[:], onehot_t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (TQ, 8*S): [xhi|yhi|zhi|whi|xlo|ylo|zlo|wlo] block-major
-        gx = g[:, 0 * S : 1 * S] + g[:, 4 * S : 5 * S]
-        gy = g[:, 1 * S : 2 * S] + g[:, 5 * S : 6 * S]
-        gz = g[:, 2 * S : 3 * S] + g[:, 6 * S : 7 * S]
-        gw = g[:, 3 * S : 4 * S] + g[:, 7 * S : 8 * S]
-        d2 = (gx - qx) ** 2 + (gy - qy) ** 2 + (gz - qz) ** 2 + gw * gw
-        cand_ref[:, pl.ds(pl.multiple_of(s * S, S), S)] = d2
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (4*S, TQ): [x|y|z|w] block-major rows
+        gx = g[0 * S : 1 * S, :]
+        gy = g[1 * S : 2 * S, :]
+        gz = g[2 * S : 3 * S, :]
+        gw = g[3 * S : 4 * S, :]
+        d2 = (gx - qxT) ** 2 + (gy - qyT) ** 2 + (gz - qzT) ** 2 + gw * gw
+        cand_ref[pl.ds(pl.multiple_of(s * S, S), S), :] = d2  # (S, TQ)
         return 0
 
     jax.lax.fori_loop(0, kb, fill_slot, 0)
 
-    # ---- final: k-pass extraction over (TQ, kb*S) candidates ----
+    # ---- final: k-pass extraction over (kb*S, TQ) candidates ----
     ncand = kb * S
-    ccol = jax.lax.broadcasted_iota(jnp.int32, (tq, ncand), 1)
+    crow = jax.lax.broadcasted_iota(jnp.int32, (ncand, tq), 0)
     blkids = blkids_ref[:]  # (kb, TQ)
     srow = jax.lax.broadcasted_iota(jnp.int32, (kb, tq), 0)
 
-    def pick(i, cand):
-        m = jnp.min(cand, axis=1, keepdims=True)
-        pos = jnp.min(jnp.where(cand <= m, ccol, ncand), axis=1)  # (TQ,)
-        sel = ccol == pos[:, None]
+    def pick(i, cand):  # cand: (ncand, TQ)
+        m = jnp.min(cand, axis=0, keepdims=True)
+        pos = jnp.min(jnp.where(cand <= m, crow, ncand), axis=0)  # (TQ,)
+        sel = crow == pos[None, :]
         # global id = blkids[pos // S, q] * S + pos % S, via a dense
         # sublane reduction (no per-lane gather)
         slot = pos // S  # (TQ,)
@@ -163,13 +169,9 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128):
 
     pts_cm = jnp.concatenate([pts.T, w[None, :]], axis=0)  # (4, Npad)
     nb = npad // S
-    # block-major hi/lo-split layout (nb, 8*S) in bf16 for the one-hot
-    # gather: [xhi|yhi|zhi|whi|xlo|ylo|zlo|wlo] per block; hi = bf16(x),
-    # lo = bf16(x - hi) recovers f32 exactly after the matmul.
-    hi = pts_cm.astype(jnp.bfloat16)
-    lo = (pts_cm - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    cm8 = jnp.concatenate([hi, lo], axis=0)  # (8, Npad) bf16
-    pts_blk = cm8.reshape(8, nb, S).transpose(1, 0, 2).reshape(nb, 8 * S)
+    # transposed block-major f32 layout (4*S, nb): row r = coord-part r//S
+    # for in-block point r%S, column = block id
+    pts_blk_t = pts_cm.reshape(4, nb, S).transpose(0, 2, 1).reshape(4 * S, nb)
 
     num_q = queries.shape[0]
     pad_q = (-num_q) % tq
@@ -183,14 +185,14 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128):
         in_specs=[
             pl.BlockSpec((tq, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 8 * S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * S, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, qp.shape[0]), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((nb, tq), jnp.float32),
             pltpu.VMEM((kb, tq), jnp.int32),
-            pltpu.VMEM((tq, kb * S), jnp.float32),
+            pltpu.VMEM((kb * S, tq), jnp.float32),
         ],
-    )(qp, pts_cm, pts_blk)
+    )(qp, pts_cm, pts_blk_t)
     return out.T[:num_q]
