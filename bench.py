@@ -97,8 +97,10 @@ def main() -> int:
     _ = warm_eval(np.zeros((spec.rec_batch_size, 3), np.float32))
 
     # --- measured: full per-object reconstruction ---
+    phase_t = {}
     t0 = time.time()
     latents = encoder(variables, pts, jax.random.key(2))
+    phase_t["latents"] = time.time() - t0
     evaluator = FieldEvaluator(
         net, spec, variables, pts, latents, pts_raw=pts, knn_tile=512
     )
@@ -107,6 +109,9 @@ def main() -> int:
         input_points=pts,
         resolution=resolution,
         refine_iter=spec.gen_refine_iter,
+        progress=lambda msg: print(
+            f"#   [{time.time() - t0:7.1f}s] {msg}", file=sys.stderr, flush=True
+        ),
     )
     elapsed = time.time() - t0
 
@@ -122,7 +127,8 @@ def main() -> int:
         f"# detail: {n_queries[0]} field queries, "
         f"{0 if mesh is None else mesh.vertices.shape[0]} verts, "
         f"{0 if mesh is None else mesh.faces.shape[0]} faces, "
-        f"backend={jax.default_backend()}, dtype={dtype.__name__}",
+        f"backend={jax.default_backend()}, dtype={dtype.__name__}, "
+        f"latents={phase_t.get('latents', 0):.1f}s",
         file=sys.stderr,
     )
     return 0

@@ -7,26 +7,30 @@ queries x 60k points on v5e) and its reshape+reduce layouts for two-stage
 selection are unpredictable (measured up to 3.3 s). This kernel controls
 the loop structure explicitly:
 
-stage 1: stream 128-point blocks through VMEM, computing the distance tile
-         on the MXU and materializing only per-block minima — the (TQ, N)
-         distance matrix never exists.
+stage 1: stream 8-block groups through VMEM, computing exact f32 distances
+         with direct elementwise differences and materializing only
+         per-block minima — the (TQ, N) distance matrix never exists.
 stage 2: select the k blocks with smallest block-min per query by k-pass
          min extraction over the tiny (nb, TQ) block-min array. Exact: if
          a true k-nearest element lay in an unselected block, the k
          selected blocks would each contain an element no larger than it.
-stage 3: gather each query's selected blocks with a one-hot MXU matmul
+stage 3: gather each query's selected blocks with a one-hot f32 MXU matmul
          (regular compute instead of irregular memory gathers), recompute
          the distances, and extract the final k nearest by iterative min
-         extraction over the (TQ, k*S) candidates.
+         extraction over the (k*S, TQ) candidates.
 
-Data layout (Mosaic-friendly):
+Data layout (Mosaic-constraint-driven; each rule below was learned from a
+real miscompile or compile error on v5e):
 - points arrive coordinate-major as (4, Npad): x, y, z rows plus a 4th
   "padding" row w = sqrt(penalty), so padded points acquire d2 += penalty
-  with no separate mask array; lane-dim slices land on 128 boundaries.
-- a block-major copy (nb, 4*S) = [x_0..x_S | y | z | w] feeds the one-hot
-  gather; static column slices split the coordinates back out.
-- all loop-carried writes are row stores at dynamic sublane positions
-  (`ref[i, :]`) — dynamic *lane* indexing is never used.
+  with no separate mask array; lane-dim slices land on 128 boundaries
+  (1-D arrays demand 1024-aligned dynamic offsets — avoided entirely).
+- a transposed block-major f32 copy (4*S, nb) feeds the one-hot gather.
+  The gather matmul must be f32/HIGHEST: Mosaic's bf16 dot silently drops
+  low mantissa bits even for exact hi/lo-split operands.
+- every loop-carried write is a row store at a dynamic *sublane* position
+  (`ref[i, :]`); dynamic lane-offset stores and in-loop dynamic sublane
+  *reads* are never used (rows are selected with dense masked reductions).
 """
 from __future__ import annotations
 
@@ -146,9 +150,10 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, out_ref,
 def default_tile(k: int) -> int:
     """Query-tile size that keeps the candidate scratch inside VMEM.
 
-    Must be a multiple of 128 (the transposed output's lane width).
+    Must be a multiple of 128 (the transposed output's lane width);
+    tq=256 with k>16 overflows VMEM (cand scratch is k*S*tq*4 bytes).
     """
-    return 256 if k <= 50 else 128
+    return 256 if k <= 16 else 128
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq"))
