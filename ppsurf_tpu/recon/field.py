@@ -36,58 +36,119 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@functools.lru_cache(maxsize=32)
+def _make_eval_chunk(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile):
+    """Jitted field-evaluation chunk program, cached by static config.
+
+    flax modules hash by structure, so evaluators for the same network
+    configuration share one compiled program.
+    """
+
+    def eval_chunk(variables, pts_all, latents, queries, pts_raw, raw_valid):
+        """queries: (1, C, 3) -> field values (C,)."""
+        proj_ids = build_proj_ids(pts_all, queries, k=spec_k, tile=knn_tile)
+        data = {
+            "pts": pts_all,
+            "pts_query": queries,
+            "latents": latents,
+            "proj_ids": proj_ids,
+        }
+        if is_ppsurf and shared:
+            from ppsurf_tpu.ops.patches import patch_space
+
+            patch_ids = proj_ids[..., :num_pts_local]
+            patches = jnp.take_along_axis(
+                pts_all[:, None, :, :], patch_ids[..., None], axis=2
+            )
+            data["pts_local_ps"] = patch_space(patches, queries)
+        elif is_ppsurf:
+            data["pts_local_ps"] = extract_local_patches(
+                pts_raw, raw_valid, queries,
+                num_pts_local=num_pts_local, tile=knn_tile,
+            )
+        logits = net.apply(variables, data, method=net.from_latent)  # (1, C, 2)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        # p(class 0) - p(class 1): zero-crossing is the surface
+        # (`poco_utils.py:79-81`)
+        return probs[0, :, 0] - probs[0, :, 1]
+
+    return jax.jit(eval_chunk)
+
+
 class LatentEncoder:
-    """Accumulate per-point latents over deterministic partition passes."""
+    """Accumulate per-point latents over deterministic partition passes.
+
+    The whole accumulation — permutation, chunking, graph building, encoder
+    forward, scatter-add — runs as ONE jitted lax.scan on device. The
+    reference round-trips every 10k-subset's latents through the host
+    (`poco_model.py:202-236`); over a remote-device transport those
+    transfers dominate, so nothing leaves HBM here until the final result.
+    """
 
     def __init__(self, net, spec: ModelSpec, knn_tile: int = 512):
         self.net = net
         self.spec = spec
         self.knn_tile = knn_tile
+        self._encode_all_cache: typing.Dict[typing.Tuple[int, int], typing.Any] = {}
 
-        @functools.partial(jax.jit, static_argnames=())
-        def encode_chunk(variables, pts_chunk, key):
-            """Encoder forward on one (1, S, 3) subset -> (S, L) latents."""
-            data = {"pts": pts_chunk}
-            data.update(
-                build_fkaconv_graph(pts_chunk, key, segmentation=True, tile=knn_tile)
-            )
-            latents = self.net.apply(variables, data, False, method=self.net.get_latent)
-            return latents[0]
-
-        self._encode_chunk = encode_chunk
-
-    def __call__(
-        self, variables, pts: np.ndarray, key: Array
-    ) -> np.ndarray:
-        """pts: (N, 3) full cloud -> (N, L) averaged latents."""
-        spec = self.spec
-        n = pts.shape[0]
-        s = min(spec.gen_subsample_manifold, n)
+    def _make_encode_all(self, n: int, s: int):
+        net, spec, knn_tile = self.net, self.spec, self.knn_tile
         num_chunks = -(-n // s)
         padded = num_chunks * s
+        iters = spec.gen_subsample_manifold_iter
 
-        latent_sum = None
-        counts = np.zeros((n,), np.float64)
-        pts_j = jnp.asarray(pts)
+        @jax.jit
+        def encode_all(variables, pts, key):  # pts: (N, 3)
+            pass_keys = jax.random.split(key, iters * (1 + num_chunks))
 
-        for it in range(spec.gen_subsample_manifold_iter):
-            key, perm_key = jax.random.split(key)
-            perm = np.asarray(jax.random.permutation(perm_key, n))
-            # wrap-around padding keeps chunk shapes static
-            perm_padded = np.concatenate([perm, perm[: padded - n]])
-            for c in range(num_chunks):
-                ids = perm_padded[c * s : (c + 1) * s]
-                key, chunk_key = jax.random.split(key)
-                chunk_latent = np.asarray(
-                    self._encode_chunk(variables, pts_j[None, ids], chunk_key),
-                    dtype=np.float64,
+            # chunk id sets for all passes: (iters*num_chunks, s)
+            def make_perm(k):
+                perm = jax.random.permutation(k, n)
+                return jnp.concatenate([perm, perm[: padded - n]]).reshape(
+                    num_chunks, s
                 )
-                if latent_sum is None:
-                    latent_sum = np.zeros((n, chunk_latent.shape[-1]), np.float64)
-                np.add.at(latent_sum, ids, chunk_latent)
-                np.add.at(counts, ids, 1.0)
 
-        return (latent_sum / counts[:, None]).astype(np.float32)
+            all_ids = jnp.concatenate(
+                [make_perm(pass_keys[i]) for i in range(iters)], axis=0
+            )
+            graph_keys = pass_keys[iters:]
+
+            def body(carry, chunk):
+                latent_sum, counts = carry
+                ids, gkey = chunk
+                chunk_pts = pts[ids][None]  # (1, s, 3)
+                data = {"pts": chunk_pts}
+                data.update(
+                    build_fkaconv_graph(chunk_pts, gkey, segmentation=True,
+                                        tile=knn_tile)
+                )
+                lat = net.apply(variables, data, False, method=net.get_latent)[0]
+                latent_sum = latent_sum.at[ids].add(lat.astype(jnp.float32))
+                counts = counts.at[ids].add(1.0)
+                return (latent_sum, counts), 0
+
+            latent_dim = spec.network_latent_size
+            init = (
+                jnp.zeros((n, latent_dim), jnp.float32),
+                jnp.zeros((n,), jnp.float32),
+            )
+            (latent_sum, counts), _ = jax.lax.scan(
+                body, init, (all_ids, graph_keys[: all_ids.shape[0]])
+            )
+            return latent_sum / counts[:, None]
+
+        return encode_all
+
+    def __call__(self, variables, pts: np.ndarray, key: Array) -> np.ndarray:
+        """pts: (N, 3) full cloud -> (N, L) averaged latents."""
+        n = pts.shape[0]
+        s = min(self.spec.gen_subsample_manifold, n)
+        cache_key = (n, s)
+        if cache_key not in self._encode_all_cache:
+            self._encode_all_cache[cache_key] = self._make_encode_all(n, s)
+        return np.asarray(
+            self._encode_all_cache[cache_key](variables, jnp.asarray(pts), key)
+        )
 
 
 class FieldEvaluator:
@@ -127,39 +188,12 @@ class FieldEvaluator:
         self.knn_tile = knn_tile
 
         spec_k = min(spec.k, pts.shape[0])
-        shared = self.shared_cloud
-
-        def eval_chunk(variables, pts_all, latents, queries, pts_raw, raw_valid):
-            """queries: (1, C, 3) -> field values (C,)."""
-            proj_ids = build_proj_ids(pts_all, queries, k=spec_k, tile=knn_tile)
-            data = {
-                "pts": pts_all,
-                "pts_query": queries,
-                "latents": latents,
-                "proj_ids": proj_ids,
-            }
-            if spec.is_ppsurf and shared:
-                from ppsurf_tpu.ops.patches import patch_space
-
-                patch_ids = proj_ids[..., : spec.num_pts_local]
-                patches = jnp.take_along_axis(
-                    pts_all[:, None, :, :], patch_ids[..., None], axis=2
-                )
-                data["pts_local_ps"] = patch_space(patches, queries)
-            elif spec.is_ppsurf:
-                data["pts_local_ps"] = extract_local_patches(
-                    pts_raw, raw_valid, queries,
-                    num_pts_local=spec.num_pts_local, tile=knn_tile,
-                )
-            logits = self.net.apply(
-                variables, data, method=self.net.from_latent
-            )  # (1, C, 2)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            # p(class 0) - p(class 1): zero-crossing is the surface
-            # (`poco_utils.py:79-81`)
-            return probs[0, :, 0] - probs[0, :, 1]
-
-        self._eval_chunk = jax.jit(eval_chunk)
+        # cached across evaluator instances: re-creating an evaluator (e.g.
+        # once per shape) must not recompile the chunk program
+        self._eval_chunk = _make_eval_chunk(
+            self.net, spec.is_ppsurf, spec.num_pts_local, spec_k,
+            self.shared_cloud, knn_tile,
+        )
 
     def __call__(self, queries: np.ndarray) -> np.ndarray:
         """queries (M, 3) -> field (M,), evaluated in padded static chunks."""
