@@ -72,9 +72,10 @@ def main() -> int:
 
     encoder = LatentEncoder(net, spec, knn_tile=512)
 
-    # --- warmup/compile (excluded from the measured time) ---
-    warm_spec = spec
-    _ = encoder(variables, pts[: spec.gen_subsample_manifold], jax.random.key(1))
+    # --- warmup/compile (excluded from the measured time; the per-shape
+    # programs are shape-cached, so a production run over a dataset pays
+    # them once) ---
+    _ = encoder(variables, pts, jax.random.key(1))
 
     n_queries = [0]
 
