@@ -81,9 +81,15 @@ def create_volume_region_growing(
         frontier[pts_ids[:, 0], pts_ids[:, 1], pts_ids[:, 2]] = True
         region = dilate_mask(frontier, dilation_size)
 
+        # only evaluate voxels without a value yet: successive rounds dilate
+        # into mostly-covered territory, and the field is deterministic, so
+        # skipping re-evaluation is exact (the reference recomputes,
+        # `poco_utils.py:207-232`)
+        region &= ~np.isfinite(volume)
         coords = np.argwhere(region)
-        queries = coords.astype(np.float32) * step + bmin_pad
-        volume[region] = eval_field(queries).astype(np.float64)
+        if coords.shape[0]:
+            queries = coords.astype(np.float32) * step + bmin_pad
+            volume[region] = eval_field(queries).astype(np.float64)
         rounds += 1
         if progress is not None:
             progress(f"region-grow round {rounds}: {coords.shape[0]} voxels")
