@@ -90,12 +90,12 @@ def main() -> int:
 
         return field
 
-    # warmup the field evaluator chunk program
+    # warmup the field evaluator chunk programs (all size buckets)
     warm_eval = FieldEvaluator(
         net, spec, variables, pts, np.zeros((pts.shape[0], spec.network_latent_size), np.float32),
         pts_raw=pts, knn_tile=512,
     )
-    _ = warm_eval(np.zeros((spec.rec_batch_size, 3), np.float32))
+    warm_eval.warmup()
 
     # --- measured: full per-object reconstruction ---
     phase_t = {}

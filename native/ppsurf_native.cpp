@@ -342,3 +342,100 @@ int64_t face_components(const int64_t* faces, int64_t n_faces, int64_t* labels) 
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// region-growing step kernels (reconstruction host loop)
+// ---------------------------------------------------------------------------
+//
+// The reconstruction frontier loop (ppsurf_tpu/recon/engine.py, after
+// reference poco_utils.py:178-254) needs two dense-grid operations per
+// round; in numpy they cost ~1.2 s/round on a 259^3 grid, dominating
+// high-resolution runs. Both walk the frontier point list directly instead
+// of materializing full-grid boolean masks.
+
+// Collect unevaluated voxels (volume NaN) within the +-dil cube of any
+// frontier point. coords_out must hold up to n_frontier*(2*dil+1)^3 rows
+// (call with max_out to cap). Marks visited cells in scratch 'stamp'
+// (uint8, grid-sized, caller-zeroed once and reused via epoch counter).
+int64_t rg_dilate_unevaluated(
+    const double* volume, int64_t nx, int64_t ny, int64_t nz,
+    const int32_t* frontier, int64_t n_frontier, int64_t dil,
+    uint8_t* stamp, uint8_t epoch, int32_t* coords_out, int64_t max_out) {
+  int64_t count = 0;
+  for (int64_t i = 0; i < n_frontier; ++i) {
+    int64_t fx = frontier[3 * i], fy = frontier[3 * i + 1],
+            fz = frontier[3 * i + 2];
+    int64_t x0 = std::max<int64_t>(0, fx - dil),
+            x1 = std::min<int64_t>(nx - 1, fx + dil);
+    int64_t y0 = std::max<int64_t>(0, fy - dil),
+            y1 = std::min<int64_t>(ny - 1, fy + dil);
+    int64_t z0 = std::max<int64_t>(0, fz - dil),
+            z1 = std::min<int64_t>(nz - 1, fz + dil);
+    for (int64_t x = x0; x <= x1; ++x)
+      for (int64_t y = y0; y <= y1; ++y)
+        for (int64_t z = z0; z <= z1; ++z) {
+          int64_t idx = (x * ny + y) * nz + z;
+          if (stamp[idx] == epoch) continue;
+          stamp[idx] = epoch;
+          if (std::isnan(volume[idx])) {
+            if (count >= max_out) return -1;
+            coords_out[3 * count] = static_cast<int32_t>(x);
+            coords_out[3 * count + 1] = static_cast<int32_t>(y);
+            coords_out[3 * count + 2] = static_cast<int32_t>(z);
+            ++count;
+          }
+        }
+  }
+  return count;
+}
+
+// Next frontier: evaluated cells within +-dil of a frontier point whose
+// value has the opposite (loose) sign, excluding already-seen cells.
+// 'seen' is updated with the current frontier. Two stamps avoid duplicate
+// emission.
+int64_t rg_next_frontier(
+    const double* volume, int64_t nx, int64_t ny, int64_t nz,
+    const int32_t* frontier, int64_t n_frontier, int64_t dil,
+    uint8_t* seen, uint8_t* stamp, uint8_t epoch,
+    int32_t* coords_out, int64_t max_out) {
+  for (int64_t i = 0; i < n_frontier; ++i) {
+    int64_t idx = (static_cast<int64_t>(frontier[3 * i]) * ny +
+                   frontier[3 * i + 1]) * nz + frontier[3 * i + 2];
+    seen[idx] = 1;
+  }
+  int64_t count = 0;
+  for (int64_t i = 0; i < n_frontier; ++i) {
+    int64_t fx = frontier[3 * i], fy = frontier[3 * i + 1],
+            fz = frontier[3 * i + 2];
+    double fv = volume[(fx * ny + fy) * nz + fz];
+    bool grow_pos = fv <= 0.0;  // nonpos frontier grows into nonneg cells
+    bool grow_neg = fv >= 0.0;
+    int64_t x0 = std::max<int64_t>(0, fx - dil),
+            x1 = std::min<int64_t>(nx - 1, fx + dil);
+    int64_t y0 = std::max<int64_t>(0, fy - dil),
+            y1 = std::min<int64_t>(ny - 1, fy + dil);
+    int64_t z0 = std::max<int64_t>(0, fz - dil),
+            z1 = std::min<int64_t>(nz - 1, fz + dil);
+    for (int64_t x = x0; x <= x1; ++x)
+      for (int64_t y = y0; y <= y1; ++y)
+        for (int64_t z = z0; z <= z1; ++z) {
+          int64_t idx2 = (x * ny + y) * nz + z;
+          if (stamp[idx2] == epoch || seen[idx2]) continue;
+          double v = volume[idx2];
+          if (std::isnan(v)) continue;
+          bool take = (grow_pos && v >= 0.0) || (grow_neg && v <= 0.0);
+          if (!take) continue;
+          stamp[idx2] = epoch;
+          if (count >= max_out) return -1;
+          coords_out[3 * count] = static_cast<int32_t>(x);
+          coords_out[3 * count + 1] = static_cast<int32_t>(y);
+          coords_out[3 * count + 2] = static_cast<int32_t>(z);
+          ++count;
+        }
+  }
+  return count;
+}
+
+}  // extern "C"

@@ -56,8 +56,66 @@ def _load() -> typing.Optional[ctypes.CDLL]:
     lib.kdtree_query.argtypes = [ctypes.c_void_p, f32p, i64, ctypes.c_int, f32p, i64p]
     lib.face_components.restype = i64
     lib.face_components.argtypes = [i64p, i64, i64p]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.rg_dilate_unevaluated.restype = i64
+    lib.rg_dilate_unevaluated.argtypes = [
+        f64p, i64, i64, i64, i32p, i64, i64, u8p, ctypes.c_uint8, i32p, i64,
+    ]
+    lib.rg_next_frontier.restype = i64
+    lib.rg_next_frontier.argtypes = [
+        f64p, i64, i64, i64, i32p, i64, i64, u8p, u8p, ctypes.c_uint8, i32p, i64,
+    ]
     _lib = lib
     return _lib
+
+
+class RegionGrowState:
+    """Native region-growing round helper (see engine.py)."""
+
+    def __init__(self, volume: np.ndarray, dilation: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.volume = volume  # (nx, ny, nz) f64, C-contiguous, shared
+        self.dilation = dilation
+        self._stamp = np.zeros(volume.shape, np.uint8)
+        self._seen = np.zeros(volume.shape, np.uint8)
+        self._epoch = 0
+
+    def _next_epoch(self) -> int:
+        self._epoch += 1
+        if self._epoch == 256:
+            self._stamp[:] = 0
+            self._epoch = 1
+        return self._epoch
+
+    def dilate_unevaluated(self, frontier: np.ndarray) -> np.ndarray:
+        nx, ny, nz = self.volume.shape
+        cap = int(frontier.shape[0]) * (2 * self.dilation + 1) ** 3
+        out = np.empty((cap, 3), np.int32)
+        n = self._lib.rg_dilate_unevaluated(
+            self.volume, nx, ny, nz,
+            np.ascontiguousarray(frontier, np.int32), frontier.shape[0],
+            self.dilation, self._stamp, self._next_epoch(), out, cap,
+        )
+        if n < 0:
+            raise RuntimeError("rg_dilate_unevaluated overflow")
+        return out[:n]
+
+    def next_frontier(self, frontier: np.ndarray) -> np.ndarray:
+        nx, ny, nz = self.volume.shape
+        cap = max(1, int(frontier.shape[0])) * (2 * self.dilation + 1) ** 3
+        out = np.empty((cap, 3), np.int32)
+        n = self._lib.rg_next_frontier(
+            self.volume, nx, ny, nz,
+            np.ascontiguousarray(frontier, np.int32), frontier.shape[0],
+            self.dilation, self._seen, self._stamp, self._next_epoch(), out, cap,
+        )
+        if n < 0:
+            raise RuntimeError("rg_next_frontier overflow")
+        return out[:n]
 
 
 def available() -> bool:

@@ -55,6 +55,7 @@ def create_volume_region_growing(
     dilation_size: int = 2,
     out_value: float = 1.0,
     progress: typing.Optional[typing.Callable[[str], None]] = None,
+    use_native: bool = True,
 ) -> typing.Tuple[np.ndarray, float, float]:
     """Evaluate the field on near-surface voxels by region growing.
 
@@ -70,29 +71,47 @@ def create_volume_region_growing(
 
     shape = (resolution + 2 * padding,) * 3
     volume = np.full(shape, np.nan, dtype=np.float64)
-    unseen = np.ones(shape, dtype=bool)
 
     pts_ids = ((input_points - bmin) / step).astype(np.int32) + padding
     pts_ids = np.unique(np.clip(pts_ids, 0, shape[0] - 1), axis=0)
 
+    # per-round grid walks run in the native library when built (they cost
+    # >1 s/round on a 259^3 grid in numpy); numpy fallback below
+    from ppsurf_tpu import native
+
+    rg = None
+    if use_native and native.available():
+        try:
+            rg = native.RegionGrowState(volume, dilation_size)
+        except RuntimeError:
+            rg = None
+    unseen = None if rg is not None else np.ones(shape, dtype=bool)
+
     rounds = 0
     while pts_ids.shape[0] > 0:
-        frontier = np.zeros(shape, dtype=bool)
-        frontier[pts_ids[:, 0], pts_ids[:, 1], pts_ids[:, 2]] = True
-        region = dilate_mask(frontier, dilation_size)
-
-        # only evaluate voxels without a value yet: successive rounds dilate
-        # into mostly-covered territory, and the field is deterministic, so
-        # skipping re-evaluation is exact (the reference recomputes,
-        # `poco_utils.py:207-232`)
-        region &= ~np.isfinite(volume)
-        coords = np.argwhere(region)
+        # evaluate voxels without a value yet in the +-dilation cube of the
+        # frontier: the field is deterministic, so skipping re-evaluation is
+        # exact (the reference recomputes, `poco_utils.py:207-232`)
+        if rg is not None:
+            coords = rg.dilate_unevaluated(pts_ids)
+        else:
+            frontier = np.zeros(shape, dtype=bool)
+            frontier[pts_ids[:, 0], pts_ids[:, 1], pts_ids[:, 2]] = True
+            region = dilate_mask(frontier, dilation_size)
+            region &= ~np.isfinite(volume)
+            coords = np.argwhere(region).astype(np.int32)
         if coords.shape[0]:
             queries = coords.astype(np.float32) * step + bmin_pad
-            volume[region] = eval_field(queries).astype(np.float64)
+            volume[coords[:, 0], coords[:, 1], coords[:, 2]] = eval_field(
+                queries
+            ).astype(np.float64)
         rounds += 1
         if progress is not None:
             progress(f"region-grow round {rounds}: {coords.shape[0]} voxels")
+
+        if rg is not None:
+            pts_ids = rg.next_frontier(pts_ids)
+            continue
 
         unseen[pts_ids[:, 0], pts_ids[:, 1], pts_ids[:, 2]] = False
 

@@ -195,14 +195,33 @@ class FieldEvaluator:
             self.shared_cloud, knn_tile,
         )
 
+    def _chunk_sizes(self) -> typing.List[int]:
+        """Padded chunk-size buckets: region-growing rounds shrink to a few
+        thousand queries, and padding everything to rec_batch_size would
+        dominate; each bucket is a separately compiled (cached) program."""
+        buckets = [self.chunk]
+        small = self.chunk // 8
+        if small >= 1024:
+            buckets.append(small)
+        return buckets
+
+    def warmup(self) -> None:
+        """Compile every chunk-size bucket (amortized across shapes)."""
+        for c in self._chunk_sizes():
+            self(np.zeros((c, 3), np.float32))
+
     def __call__(self, queries: np.ndarray) -> np.ndarray:
         """queries (M, 3) -> field (M,), evaluated in padded static chunks."""
         m = queries.shape[0]
         if m == 0:
             return np.zeros((0,), np.float32)
-        c = self.chunk
+        buckets = self._chunk_sizes()
         out = np.empty((m,), np.float32)
-        for start in range(0, m, c):
+        start = 0
+        while start < m:
+            remaining = m - start
+            # smallest bucket that covers the remainder, else the largest
+            c = next((b for b in sorted(buckets) if b >= remaining), buckets[0])
             q = queries[start : start + c]
             pad = c - q.shape[0]
             if pad:
@@ -215,5 +234,7 @@ class FieldEvaluator:
                     self.raw_valid if self.pts_raw is not None else jnp.ones((1, 1), bool),
                 )
             )
-            out[start : start + c - pad] = vals[: c - pad]
+            take = c - pad
+            out[start : start + take] = vals[:take]
+            start += take
         return out

@@ -169,3 +169,24 @@ class TestRegionGrowing:
 
         mesh = reconstruct_mesh(positive_field, pts, resolution=17, refine_iter=0)
         assert mesh is None
+
+
+class TestNativeRegionGrowing:
+    def test_native_matches_numpy(self):
+        from ppsurf_tpu import native
+
+        if not native.available():
+            pytest.skip("native library not built")
+        pts = fibonacci_sphere(1500)
+        field = sphere_field()
+        vol_np, s1, b1 = create_volume_region_growing(
+            field, pts, resolution=49, use_native=False
+        )
+        vol_na, s2, b2 = create_volume_region_growing(
+            field, pts, resolution=49, use_native=True
+        )
+        assert s1 == s2 and b1 == b2
+        np.testing.assert_array_equal(np.isfinite(vol_np), np.isfinite(vol_na))
+        np.testing.assert_allclose(
+            vol_np[np.isfinite(vol_np)], vol_na[np.isfinite(vol_na)]
+        )
