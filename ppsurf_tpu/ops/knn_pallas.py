@@ -26,8 +26,8 @@ real miscompile or compile error on v5e):
   with no separate mask array; lane-dim slices land on 128 boundaries
   (1-D arrays demand 1024-aligned dynamic offsets — avoided entirely).
 - a transposed block-major f32 copy (4*S, nb) feeds the one-hot gather.
-  The gather matmul must be f32/HIGHEST: Mosaic's bf16 dot silently drops
-  low mantissa bits even for exact hi/lo-split operands.
+  The gather matmul must be f32/HIGHEST: every bf16 dot variant silently
+  dropped low mantissa bits inside this kernel on v5e.
 - every loop-carried write is a row store at a dynamic *sublane* position
   (`ref[i, :]`); dynamic lane-offset stores and in-loop dynamic sublane
   *reads* are never used (rows are selected with dense masked reductions).
@@ -108,9 +108,11 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, out_ref,
         # row s of blkids via dense masked reduction (dynamic sublane reads
         # inside the loop miscompiled on some Mosaic versions)
         bid = jnp.sum(jnp.where(srow_kb == s, blkids_all, 0), axis=0)  # (TQ,)
-        # one-hot gather as an f32 HIGHEST matmul: the one-hot selects each
-        # query's block column; bf16 variants lost the low coordinate bits
-        # under Mosaic, perturbing candidate distances by ~1e-3.
+        # one-hot gather as an f32 HIGHEST matmul. NOTE: every bf16
+        # variant of this dot (stacked hi/lo, two separate exact-product
+        # dots) silently lost low mantissa bits *inside this kernel* on
+        # v5e, despite being exact in an isolated pallas test — do not
+        # change this without re-running the large-N exactness check.
         onehot_t = (nbrow == bid[None, :]).astype(jnp.float32)  # (NB, TQ)
         g = jax.lax.dot_general(
             pts_blk_t_ref[:], onehot_t, (((1,), (0,)), ((), ())),
@@ -174,8 +176,8 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128):
 
     pts_cm = jnp.concatenate([pts.T, w[None, :]], axis=0)  # (4, Npad)
     nb = npad // S
-    # transposed block-major f32 layout (4*S, nb): row r = coord-part r//S
-    # for in-block point r%S, column = block id
+    # transposed block-major hi/lo bf16 layouts (4*S, nb): row r =
+    # coord-part r//S for in-block point r%S, column = block id
     pts_blk_t = pts_cm.reshape(4, nb, S).transpose(0, 2, 1).reshape(4 * S, nb)
 
     num_q = queries.shape[0]

@@ -56,18 +56,27 @@ class TestData:
 
 
 class TestTrainStep:
-    def test_fit_one_epoch_decreases_loss(self, abc_minimal_dir, tmp_path):
+    def test_fit_sharded_with_checkpoint_roundtrip(self, abc_minimal_dir, tmp_path):
+        """One sharded fit covers: step counting, checkpoint layout,
+        and orbax restore equality (compiles once — the XLA CPU compile
+        dominates this suite's runtime)."""
         dm = tiny_datamodule(abc_minimal_dir)
         spec = tiny_ppsurf_spec()
         cfg = TrainConfig(
-            max_epochs=2, batch_size=2, num_devices=2, knn_tile=64,
+            max_epochs=1, batch_size=2, num_devices=2, knn_tile=64,
             default_root_dir=str(tmp_path / "models"),
         )
         trainer = Trainer(spec, cfg)
         state = trainer.fit(dm)
-        assert int(jax.device_get(state.step)) == 2 * 4  # ceil(7 shapes / bs 2) * 2 epochs
+        assert int(jax.device_get(state.step)) == 4  # ceil(7 shapes / bs 2)
         # checkpoint written in the reference layout
         assert os.path.isdir(os.path.join(trainer.ckpt_dir, "last"))
+        restored = trainer.restore_checkpoint(
+            state, os.path.join(trainer.ckpt_dir, "last")
+        )
+        p0 = jax.device_get(jax.tree_util.tree_leaves(state.params)[0])
+        p1 = jax.device_get(jax.tree_util.tree_leaves(restored.params)[0])
+        np.testing.assert_allclose(p0, p1)
 
     def test_poco_spec_fit_smoke(self, abc_minimal_dir, tmp_path):
         dm = tiny_datamodule(abc_minimal_dir)
@@ -79,22 +88,6 @@ class TestTrainStep:
         trainer = Trainer(spec, cfg)
         state = trainer.fit(dm)
         assert int(jax.device_get(state.step)) == 4
-
-    def test_checkpoint_roundtrip(self, abc_minimal_dir, tmp_path):
-        dm = tiny_datamodule(abc_minimal_dir)
-        spec = tiny_ppsurf_spec()
-        cfg = TrainConfig(
-            max_epochs=1, batch_size=2, num_devices=2, knn_tile=64,
-            default_root_dir=str(tmp_path / "models"),
-        )
-        trainer = Trainer(spec, cfg)
-        state = trainer.fit(dm)
-        restored = trainer.restore_checkpoint(
-            state, os.path.join(trainer.ckpt_dir, "last")
-        )
-        p0 = jax.device_get(jax.tree_util.tree_leaves(state.params)[0])
-        p1 = jax.device_get(jax.tree_util.tree_leaves(restored.params)[0])
-        np.testing.assert_allclose(p0, p1)
 
 
 class TestLoss:
