@@ -146,6 +146,7 @@ def make_train_step(net, spec: ModelSpec, tx, mesh, knn_tile: int = 512):
         mesh=mesh,
         in_specs=(P(), P("data"), P()),
         out_specs=(P(), P(), P()),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
     )
     return jax.jit(sharded, donate_argnums=(0,))
 
@@ -165,6 +166,7 @@ def make_eval_step(net, spec: ModelSpec, mesh, knn_tile: int = 512):
         mesh=mesh,
         in_specs=(P(), P("data"), P()),
         out_specs=(P(), P()),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
     )
     return jax.jit(sharded)
 
