@@ -38,8 +38,16 @@ def gather_neighbors(values: Array, ids: Array) -> Array:
 
 
 def max_pool_neighbors(values: Array, ids: Array) -> Array:
-    """Max over gathered neighbors (reference `max_pool`, `nn.py:677-680`)."""
-    return jnp.max(gather_neighbors(values, ids), axis=2)
+    """Max over gathered neighbors (reference `max_pool`, `nn.py:677-680`).
+
+    Implemented as argmax + take_along_axis: same values and subgradient as
+    jnp.max, but the backward pass lowers to a scatter instead of the
+    reduce-window gradient that crashes XLA's TransformWindow fusion on
+    v5e for (B, 39, 1024)-shaped downsample shortcuts.
+    """
+    gathered = gather_neighbors(values, ids)  # (B, M, K, C)
+    idx = jax.lax.stop_gradient(jnp.argmax(gathered, axis=2, keepdims=True))
+    return jnp.take_along_axis(gathered, idx, axis=2)[:, :, 0, :]
 
 
 def interpolate(values: Array, ids: Array) -> Array:
@@ -235,7 +243,11 @@ class FKAConvNetwork(nn.Module):
         )
 
         if self.segmentation:
-            x5 = jnp.broadcast_to(jnp.max(x4, axis=1, keepdims=True), x4.shape)
+            # global max in f32: the bf16 select-and-scatter gradient hits an
+            # XLA TransformWindow compiler crash on v5e (odd spatial size)
+            x5 = jnp.broadcast_to(
+                jnp.max(x4.astype(jnp.float32), axis=1, keepdims=True), x4.shape
+            ).astype(x4.dtype)
             x4d = nn.Dense(16 * hd, name="cv5", dtype=dt)(
                 jnp.concatenate([x4, x5], axis=-1)
             )

@@ -28,12 +28,22 @@ KNN_K = 16  # FKAConv kernel neighborhood (`nn.py:465` kernel_size=16)
 
 
 def level_sizes(n: int, num_levels: int = 4, ratio: float = 0.25) -> typing.List[int]:
-    """Static support-point counts per level (reference `poco_data_loader.py:74-77`)."""
+    """Static support-point counts per level.
+
+    The reference uses max(1, int(n * 0.25)) per level
+    (`poco_data_loader.py:74-77`); we additionally align each level UP to a
+    multiple of 8 (the TPU sublane width, capped at the parent size): odd
+    support counts (e.g. 39 at level 4 for N=10000) produce batched dots on
+    bf16[B, 39, 1024] operands that crash XLA's TransformWindow fusion on
+    v5e, and aligned shapes tile better regardless.
+    """
     sizes = []
     cur = n
     for _ in range(num_levels):
-        cur = max(1, int(cur * ratio))
-        sizes.append(cur)
+        nxt = max(1, int(cur * ratio))
+        nxt = min(cur, ((nxt + 7) // 8) * 8) if cur >= 8 else max(1, nxt)
+        sizes.append(nxt)
+        cur = nxt
     return sizes
 
 

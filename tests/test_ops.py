@@ -95,8 +95,9 @@ class TestSubsample:
 
 class TestGraph:
     def test_level_sizes(self):
-        assert level_sizes(10000) == [2500, 625, 156, 39]
-        assert level_sizes(100) == [25, 6, 1, 1]
+        # reference ratio-0.25 pyramid, aligned up to the TPU sublane width
+        assert level_sizes(10000) == [2504, 632, 160, 40]
+        assert level_sizes(100) == [32, 8, 8, 8]
 
     def test_build_graph_shapes(self):
         rng = np.random.RandomState(0)
@@ -104,14 +105,14 @@ class TestGraph:
         g = build_fkaconv_graph(pts, jax.random.key(0), tile=64)
         assert g["support1"].shape == (2, 64, 3)
         assert g["support2"].shape == (2, 16, 3)
-        assert g["support3"].shape == (2, 4, 3)
-        assert g["support4"].shape == (2, 1, 3)
+        assert g["support3"].shape == (2, 8, 3)  # aligned up to sublane width
+        assert g["support4"].shape == (2, 8, 3)
         assert g["ids00"].shape == (2, 256, 16)
         assert g["ids01"].shape == (2, 64, 16)
-        assert g["ids34"].shape == (2, 1, 4)  # k clamped to level size
-        assert g["ids44"].shape == (2, 1, 1)
+        assert g["ids34"].shape == (2, 8, 8)  # k clamped to level size
+        assert g["ids44"].shape == (2, 8, 8)
         assert g["ids10"].shape == (2, 256, 1)
-        assert g["ids43"].shape == (2, 4, 1)
+        assert g["ids43"].shape == (2, 8, 1)
         # ids index into the parent level
         assert np.asarray(g["ids01"]).max() < 256
         assert np.asarray(g["ids12"]).max() < 64
