@@ -154,9 +154,21 @@ def make_train_step(net, spec: ModelSpec, tx, mesh, knn_tile: int = 512):
 def make_eval_step(net, spec: ModelSpec, mesh, knn_tile: int = 512):
     def local_step(state: TrainState, batch, key):
         key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-        loss, (conf, _) = _loss_and_aux(
-            net, spec, state.params, state.batch_stats, batch, key, False, knn_tile
-        )
+
+        # per-sample evaluation: eval-mode (running-stats) forward passes
+        # with batch >= 2 hit an XLA TransformWindow compiler crash on v5e;
+        # B=1 compiles and per-shape metrics aggregate identically
+        def one(item):
+            sample = jax.tree_util.tree_map(lambda x: x[None], item)
+            return _loss_and_aux(
+                net, spec, state.params, state.batch_stats, sample, key,
+                False, knn_tile,
+            )
+
+        losses, (confs, _) = jax.lax.map(one, batch)
+        loss = jnp.mean(losses)
+        conf = jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), confs)
+
         loss = jax.lax.pmean(loss, "data")
         conf = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "data"), conf)
         return loss, conf
