@@ -49,6 +49,7 @@ def export_table(
             index=list(STAT_ROWS),
         )
         out = pd.concat([out, stats.reindex(columns=df.columns)], axis=0)
+        out.index.name = df.index.name
 
     csv_file = _csv_path(output_file)
     os.makedirs(os.path.dirname(os.path.abspath(csv_file)), exist_ok=True)
