@@ -108,3 +108,49 @@ class TestMeshMetrics:
             metric="chamfer",
         )
         assert np.isnan(res[0][0])
+
+
+class TestClosestPoint:
+    def test_point_triangle_projection(self):
+        from ppsurf_tpu.metrics.proximity import closest_point_on_triangles
+
+        a = np.array([[0, 0, 0]], np.float64)
+        b = np.array([[1, 0, 0]], np.float64)
+        c = np.array([[0, 1, 0]], np.float64)
+        # interior projection
+        p = np.array([[0.2, 0.2, 1.0]])
+        np.testing.assert_allclose(
+            closest_point_on_triangles(p, a, b, c), [[0.2, 0.2, 0.0]], atol=1e-12
+        )
+        # vertex region
+        p = np.array([[-1.0, -1.0, 0.5]])
+        np.testing.assert_allclose(
+            closest_point_on_triangles(p, a, b, c), [[0, 0, 0]], atol=1e-12
+        )
+        # edge AB region
+        p = np.array([[0.5, -1.0, 0.0]])
+        np.testing.assert_allclose(
+            closest_point_on_triangles(p, a, b, c), [[0.5, 0, 0]], atol=1e-12
+        )
+
+    def test_closest_point_on_sphere_mesh(self):
+        from ppsurf_tpu.metrics.proximity import get_closest_point_on_mesh
+
+        mesh = make_sphere_mesh(0.3)
+        rng = np.random.RandomState(0)
+        dirs = rng.randn(50, 3)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        queries = dirs * 0.45  # outside the sphere
+        closest, dists, faces = get_closest_point_on_mesh(mesh, queries)
+        # closest points lie on the sphere surface, distance ~ 0.15
+        r = np.linalg.norm(closest, axis=1)
+        assert np.abs(r - 0.3).max() < 0.01
+        assert np.abs(dists - 0.15).max() < 0.01
+        assert faces.max() < mesh.faces.shape[0]
+
+    def test_exact_normal_error(self, sphere_files):
+        from ppsurf_tpu.metrics.proximity import normal_error
+
+        fa, fb, fc = sphere_files
+        _, _, ne = normal_error(fa, fb, num_samples=3000)
+        assert ne < 0.2  # same sphere -> small angle
