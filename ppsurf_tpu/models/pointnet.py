@@ -46,11 +46,14 @@ def batch_quat_to_rotmat(q: Array) -> Array:
 class STN(nn.Module):
     """Feature spatial-transformer: predicts a (dim x dim) matrix.
 
-    Reference `nn.py:133-190`. Input (B, N, dim) channels-last.
+    Reference `nn.py:133-190`. Input (B, num_scales*num_points, dim)
+    channels-last; with num_scales > 1 the per-scale max-pooled features are
+    concatenated and merged through fc0 (reference `nn.py:158-181`).
     """
 
     net_size_max: int = 1024
     dim: int = 3
+    num_scales: int = 1
     dtype: typing.Any = jnp.float32
 
     @nn.compact
@@ -63,7 +66,18 @@ class STN(nn.Module):
                 nn.Dense(self.net_size_max, name="conv3", dtype=dt)(h), train
             )
         )
-        h = jnp.max(h, axis=1)  # symmetric op over points
+        if self.num_scales == 1:
+            h = jnp.max(h, axis=1)  # symmetric op over points
+        else:
+            num_points = h.shape[1] // self.num_scales
+            h = jnp.max(
+                h.reshape(h.shape[0], self.num_scales, num_points, -1), axis=2
+            ).reshape(h.shape[0], -1)
+            h = nn.relu(
+                BatchNorm(name="bn0", dtype=dt)(
+                    nn.Dense(self.net_size_max, name="fc0", dtype=dt)(h), train
+                )
+            )
 
         half, quarter = self.net_size_max // 2, self.net_size_max // 4
         h = nn.relu(BatchNorm(name="bn4", dtype=dt)(nn.Dense(half, name="fc1", dtype=dt)(h), train))
@@ -130,6 +144,7 @@ class PointNetfeat(nn.Module):
     use_feat_stn: bool = True
     sym_op: str = "max"
     dim: int = 3
+    num_scales: int = 1
     dtype: typing.Any = jnp.float32
 
     @nn.compact
@@ -154,7 +169,10 @@ class PointNetfeat(nn.Module):
         x = nn.relu(BatchNorm(name="bn0b", dtype=dt)(nn.Dense(64, name="conv0b", dtype=dt)(x), train))
 
         if self.use_feat_stn:
-            trans2 = STN(self.net_size_max, dim=64, name="stn2", dtype=dt)(x, train)
+            trans2 = STN(
+                self.net_size_max, dim=64, num_scales=self.num_scales,
+                name="stn2", dtype=dt,
+            )(x, train)
             x = jnp.einsum("bij,bnj->bni", trans2.astype(dt), x)
 
         x = nn.relu(BatchNorm(name="bn1", dtype=dt)(nn.Dense(64, name="conv1", dtype=dt)(x), train))
@@ -162,6 +180,28 @@ class PointNetfeat(nn.Module):
         x = BatchNorm(name="bn3", dtype=dt)(
             nn.Dense(self.output_size, name="conv3", dtype=dt)(x), train
         )
+
+        if self.num_scales > 1:
+            # per-scale expansion then per-scale pooling
+            # (reference `nn.py:290-292, 357-369`; max/sum only)
+            x = BatchNorm(name="bn4", dtype=dt)(
+                nn.Dense(self.output_size * self.num_scales, name="conv4", dtype=dt)(
+                    nn.relu(x)
+                ),
+                train,
+            )
+            num_points = x.shape[1] // self.num_scales
+            xs = x.reshape(x.shape[0], self.num_scales, num_points, -1)
+            if self.sym_op == "max":
+                feat = jnp.max(xs, axis=2)
+            elif self.sym_op == "sum":
+                feat = jnp.sum(xs, axis=2)
+            else:
+                raise ValueError(
+                    f"Unsupported multi-scale symmetric operation: {self.sym_op}"
+                )
+            feat = feat.reshape(x.shape[0], -1)  # output_size * num_scales^2
+            return feat, trans, trans_quat, trans2
 
         if self.sym_op == "max":
             feat = jnp.max(x, axis=1)

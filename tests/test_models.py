@@ -228,3 +228,29 @@ class TestPointNet:
         r = np.asarray(trans)
         for b in range(2):
             np.testing.assert_allclose(r[b] @ r[b].T, np.eye(3), atol=1e-4)
+
+
+class TestMultiScalePointNet:
+    def test_multiscale_shapes(self):
+        rng = np.random.RandomState(0)
+        num_scales, num_points, out = 2, 12, 8
+        pts = jnp.asarray(rng.randn(3, num_scales * num_points, 3).astype(np.float32))
+        net = PointNetfeat(
+            net_size_max=16, output_size=out, use_point_stn=False,
+            use_feat_stn=True, sym_op="max", num_scales=num_scales,
+        )
+        variables = net.init(jax.random.key(0), pts)
+        feat, _, _, _ = net.apply(variables, pts)
+        # reference: output_size * num_scales^2 (`nn.py:371`)
+        assert feat.shape == (3, out * num_scales**2)
+
+    def test_multiscale_sum(self):
+        rng = np.random.RandomState(1)
+        pts = jnp.asarray(rng.randn(2, 20, 3).astype(np.float32))
+        net = PointNetfeat(
+            net_size_max=16, output_size=4, use_point_stn=False,
+            use_feat_stn=False, sym_op="sum", num_scales=2,
+        )
+        variables = net.init(jax.random.key(0), pts)
+        feat, _, _, _ = net.apply(variables, pts)
+        assert feat.shape == (2, 16)
