@@ -303,7 +303,11 @@ class Trainer:
         profile_window = (2, 5) if cfg.profiler == "jax" else None
         profiling = False
 
-        for epoch in range(cfg.max_epochs):
+        # resume at the epoch implied by the restored step (Lightning's
+        # `--ckpt_path` resume restores the trainer epoch too)
+        start_epoch = min(global_step // n_batches, cfg.max_epochs)
+
+        for epoch in range(start_epoch, cfg.max_epochs):
             for batch in datamodule.epoch_batches(train_ds, rng, shuffle=True):
                 if profile_window and global_step == profile_window[0]:
                     jax.profiler.start_trace(os.path.join(self.version_dir, "profile"))

@@ -108,3 +108,30 @@ def test_find_version_dir(tmp_path):
     os.makedirs(os.path.join(root, "version_0"))
     assert find_version_dir(root).endswith("version_1")
     assert find_version_dir(root, resume=True).endswith("version_0")
+
+
+def test_fit_resume_from_checkpoint(abc_minimal_dir, tmp_path):
+    """`fit --ckpt_path` resumes at the restored epoch instead of epoch 0."""
+    dm = tiny_datamodule(abc_minimal_dir)
+    spec = tiny_ppsurf_spec()
+    cfg = TrainConfig(
+        max_epochs=1, batch_size=2, num_devices=1, knn_tile=64,
+        default_root_dir=str(tmp_path / "models"),
+    )
+    t1 = Trainer(spec, cfg)
+    state1 = t1.fit(dm)
+    steps_after_1 = int(jax.device_get(state1.step))
+
+    # resume with max_epochs=2: exactly one more epoch should run
+    cfg2 = TrainConfig(
+        max_epochs=2, batch_size=2, num_devices=1, knn_tile=64,
+        default_root_dir=str(tmp_path / "models"),
+    )
+    t2 = Trainer(spec, cfg2)
+    state2 = t2.fit(dm, ckpt_path=os.path.join(t1.ckpt_dir, "last"))
+    assert int(jax.device_get(state2.step)) == 2 * steps_after_1
+
+    # resuming a finished run performs no extra steps
+    t3 = Trainer(spec, cfg)
+    state3 = t3.fit(dm, ckpt_path=os.path.join(t1.ckpt_dir, "last"))
+    assert int(jax.device_get(state3.step)) == steps_after_1
