@@ -28,6 +28,10 @@ import time
 
 import numpy as np
 
+# persistent XLA compile cache: reconstruction programs (chunk evaluators,
+# device refinement, latent scan) are identical across runs and shapes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 
 def main() -> int:
     import jax
@@ -77,34 +81,43 @@ def main() -> int:
     # them once) ---
     _ = encoder(variables, pts, jax.random.key(1))
 
+    # blend with an analytic SDF so growth/refinement see a surface; runs
+    # inside the jit chunk program (the network still runs for every
+    # query, so the measured cost is the true end-to-end cost)
+    sphere_r = float(np.max(np.abs(pts)))
+
+    def blend(vals, q):
+        return 0.01 * vals + (
+            jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)) - sphere_r
+        )
+
     n_queries = [0]
 
     def timed_field(evaluator):
         def field(q):
             n_queries[0] += q.shape[0]
-            vals = evaluator(q)
-            # blend with an analytic SDF so growth/refinement see a surface
-            return 0.01 * vals + (
-                np.linalg.norm(q, axis=1).astype(np.float32) - 0.35 * np.max(np.abs(pts))/0.35
-            )
+            return evaluator(q)
 
         return field
 
-    # warmup the field evaluator chunk programs (all size buckets)
-    warm_eval = FieldEvaluator(
-        net, spec, variables, pts, np.zeros((pts.shape[0], spec.network_latent_size), np.float32),
-        pts_raw=pts, knn_tile=512,
+    def make_evaluator(latents):
+        return FieldEvaluator(
+            net, spec, variables, pts, latents, pts_raw=pts, knn_tile=512,
+            transform=blend,
+        )
+
+    # warmup the field evaluator chunk + device-refinement programs
+    warm_eval = make_evaluator(
+        np.zeros((pts.shape[0], spec.network_latent_size), np.float32)
     )
-    warm_eval.warmup()
+    warm_eval.warmup(refine_iters=spec.gen_refine_iter)
 
     # --- measured: full per-object reconstruction ---
     phase_t = {}
     t0 = time.time()
     latents = encoder(variables, pts, jax.random.key(2))
     phase_t["latents"] = time.time() - t0
-    evaluator = FieldEvaluator(
-        net, spec, variables, pts, latents, pts_raw=pts, knn_tile=512
-    )
+    evaluator = make_evaluator(latents)
     mesh = reconstruct_mesh(
         timed_field(evaluator),
         input_points=pts,
@@ -113,6 +126,7 @@ def main() -> int:
         progress=lambda msg: print(
             f"#   [{time.time() - t0:7.1f}s] {msg}", file=sys.stderr, flush=True
         ),
+        refine_device=evaluator.refine_bisection,
     )
     elapsed = time.time() - t0
 
@@ -125,7 +139,7 @@ def main() -> int:
     }
     print(json.dumps(result))
     print(
-        f"# detail: {n_queries[0]} field queries, "
+        f"# detail: {n_queries[0]} field queries (grow; refine runs on device), "
         f"{0 if mesh is None else mesh.vertices.shape[0]} verts, "
         f"{0 if mesh is None else mesh.faces.shape[0]} faces, "
         f"backend={jax.default_backend()}, dtype={dtype.__name__}, "

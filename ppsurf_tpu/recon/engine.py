@@ -153,6 +153,7 @@ def refine_vertices(
     bmin_pad: float,
     refine_iter: int = 10,
     progress: typing.Optional[typing.Callable[[str], None]] = None,
+    refine_device: typing.Optional[typing.Callable] = None,
 ) -> np.ndarray:
     """Bisection refinement of marching-cubes vertices along grid edges.
 
@@ -183,6 +184,19 @@ def refine_vertices(
     world = verts.astype(np.float64) * step + bmin_pad
     v = v * step + bmin_pad
 
+    if refine_device is not None:
+        # all refine_iter bisection rounds in one device program per chunk
+        # (FieldEvaluator.refine_bisection); update rule identical to the
+        # host loop below
+        if progress is not None:
+            progress(f"refine x{refine_iter} on device: {v.shape[0]} verts")
+        world[mask] = refine_device(
+            v.astype(np.float32), v1.astype(np.float32),
+            v2.astype(np.float32), preds1.astype(np.float32),
+            preds2.astype(np.float32), refine_iter,
+        ).astype(np.float64)
+        return world.astype(np.float32)
+
     for it in range(refine_iter):
         preds = eval_field(v.astype(np.float32)).astype(np.float64)
         if progress is not None:
@@ -211,9 +225,14 @@ def reconstruct_mesh(
     dilation_size: int = 2,
     min_component_faces: int = 6,
     progress: typing.Optional[typing.Callable[[str], None]] = None,
+    refine_device: typing.Optional[typing.Callable] = None,
 ) -> typing.Optional[Mesh]:
     """Full reconstruction (reference
-    `export_mesh_and_refine_vertices_region_growing_v3`)."""
+    `export_mesh_and_refine_vertices_region_growing_v3`).
+
+    refine_device: optional on-device bisection
+    (FieldEvaluator.refine_bisection) — same results, no host loop.
+    """
     volume, step, bmin_pad = create_volume_region_growing(
         eval_field, input_points, resolution, padding=padding,
         dilation_size=dilation_size, out_value=out_value, progress=progress,
@@ -233,6 +252,7 @@ def reconstruct_mesh(
         world = refine_vertices(
             mesh.vertices.astype(np.float64), volume, eval_field, step, bmin_pad,
             refine_iter=refine_iter, progress=progress,
+            refine_device=refine_device,
         )
     else:
         world = (mesh.vertices.astype(np.float64) * step + bmin_pad).astype(np.float32)

@@ -36,17 +36,32 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.lru_cache(maxsize=32)
-def _make_eval_chunk(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile):
-    """Jitted field-evaluation chunk program, cached by static config.
+KNN_BAND = 16  # banded-kNN block count: certificate p99 is ~9 blocks on ABC
+# clouds (60k pts, k=64 grid queries), so 16 makes in-kernel fallback rare
+# while cutting the one-hot gather + extraction ~4x (ops/knn_pallas.py)
 
-    flax modules hash by structure, so evaluators for the same network
-    configuration share one compiled program.
+
+@functools.lru_cache(maxsize=32)
+def _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
+                     transform):
+    """Field-evaluation body for one padded chunk (traceable, not jitted).
+
+    transform: optional jittable (values (C,), queries (C, 3)) -> (C,)
+    post-processing of the raw field (e.g. bench.py's analytic-SDF blend);
+    it runs on device so the grower AND the device-side refinement scan see
+    the same field.
     """
 
-    def eval_chunk(variables, pts_all, latents, queries, pts_raw, raw_valid):
-        """queries: (1, C, 3) -> field values (C,)."""
-        proj_ids = build_proj_ids(pts_all, queries, k=spec_k, tile=knn_tile)
+    def chunk_body(variables, pts_all, latents, queries, pts_raw, raw_valid):
+        """queries: (1, C, 3) -> field values (C,).
+
+        pts_all arrives Morton-sorted and queries Morton-sorted per chunk
+        (FieldEvaluator handles both permutations), so the banded kNN's
+        spatial-locality certificate holds for nearly every tile.
+        """
+        proj_ids = build_proj_ids(
+            pts_all, queries, k=spec_k, tile=knn_tile, kb=KNN_BAND
+        )
         data = {
             "pts": pts_all,
             "pts_query": queries,
@@ -70,9 +85,64 @@ def _make_eval_chunk(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile):
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         # p(class 0) - p(class 1): zero-crossing is the surface
         # (`poco_utils.py:79-81`)
-        return probs[0, :, 0] - probs[0, :, 1]
+        vals = probs[0, :, 0] - probs[0, :, 1]
+        if transform is not None:
+            vals = transform(vals, queries[0])
+        return vals
 
-    return jax.jit(eval_chunk)
+    return chunk_body
+
+
+@functools.lru_cache(maxsize=32)
+def _make_eval_chunk(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
+                     transform):
+    """Jitted single-chunk program, cached by static config.
+
+    flax modules hash by structure, so evaluators for the same network
+    configuration share one compiled program.
+    """
+    return jax.jit(
+        _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
+                         knn_tile, transform)
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
+                       knn_tile, transform, iters):
+    """Jitted bisection refinement of ONE padded vertex chunk, all `iters`
+    rounds on device.
+
+    Replaces the host loop of `refine_iter` sequential evaluator calls
+    (reference `poco_utils.py:111-168`) with one scanned program per
+    chunk; bisection is per-vertex independent, so chunks are submitted
+    asynchronously and the program is shared across vertex counts.
+    """
+    body = _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
+                            knn_tile, transform)
+
+    def refine(variables, pts_all, latents, pts_raw, raw_valid,
+               v, v1, v2, p1, p2):
+        """v/v1/v2 (C, 3); p1/p2 (C,) -> refined v (C, 3)."""
+
+        def step(carry, _):
+            v, v1, v2, p1, p2 = carry
+            preds = body(variables, pts_all, latents, v[None],
+                         pts_raw, raw_valid)
+            m1 = (preds * p1) > 0
+            v1 = jnp.where(m1[:, None], v, v1)
+            p1 = jnp.where(m1, preds, p1)
+            m2 = (preds * p2) > 0
+            v2 = jnp.where(m2[:, None], v, v2)
+            p2 = jnp.where(m2, preds, p2)
+            return (0.5 * (v1 + v2), v1, v2, p1, p2), 0
+
+        (v, v1, v2, p1, p2), _ = jax.lax.scan(
+            step, (v, v1, v2, p1, p2), None, length=iters
+        )
+        return v
+
+    return jax.jit(refine)
 
 
 class LatentEncoder:
@@ -163,13 +233,13 @@ class FieldEvaluator:
         latents: np.ndarray,  # (N, L)
         pts_raw: typing.Optional[np.ndarray] = None,  # (R, 3) raw cloud (patches)
         knn_tile: int = 512,
+        transform: typing.Optional[typing.Callable] = None,
     ):
         self.net = net
         self.spec = spec
         self.variables = variables
         self.chunk = spec.rec_batch_size
-        self.pts = jnp.asarray(pts)[None]  # (1, N, 3)
-        self.latents = jnp.asarray(latents)[None]  # (1, N, L)
+        self.transform = transform
         # When the patch branch queries the same cloud the decoder does
         # (the standard predict path: latents are kept per input point and
         # patches come from the input cloud, `poco_model.py:200-236` +
@@ -178,9 +248,23 @@ class FieldEvaluator:
         self.shared_cloud = spec.is_ppsurf and (
             pts_raw is None or pts_raw is pts
         ) and spec.num_pts_local is not None and spec.num_pts_local <= spec.k
+        # Morton-sort the cloud (and its latents, so decoder gathers stay
+        # consistent) — the banded kNN's locality premise. Queries are
+        # sorted per call; all permutations are internal to the evaluator.
+        from ppsurf_tpu.ops.morton import morton_order
+
+        self._bbox = (pts.min(axis=0), pts.max(axis=0))
+        order = morton_order(pts, *self._bbox)
+        pts_sorted = np.ascontiguousarray(pts[order])
+        self.pts = jnp.asarray(pts_sorted)[None]  # (1, N, 3)
+        # latents in the network compute dtype (bf16 on TPU): the decoder
+        # casts them anyway, and the (C, k, L) gather is HBM-bound
+        self.latents = jnp.asarray(np.ascontiguousarray(latents[order]))[
+            None
+        ].astype(spec.dtype)
         if spec.is_ppsurf:
-            if pts_raw is None:
-                pts_raw = pts
+            if pts_raw is None or pts_raw is pts:
+                pts_raw = pts_sorted
             self.pts_raw = jnp.asarray(pts_raw)[None]
             self.raw_valid = jnp.ones((1, pts_raw.shape[0]), bool)
         else:
@@ -188,11 +272,12 @@ class FieldEvaluator:
         self.knn_tile = knn_tile
 
         spec_k = min(spec.k, pts.shape[0])
+        self._spec_k = spec_k
         # cached across evaluator instances: re-creating an evaluator (e.g.
         # once per shape) must not recompile the chunk program
         self._eval_chunk = _make_eval_chunk(
             self.net, spec.is_ppsurf, spec.num_pts_local, spec_k,
-            self.shared_cloud, knn_tile,
+            self.shared_cloud, knn_tile, transform,
         )
 
     def _chunk_sizes(self) -> typing.List[int]:
@@ -205,18 +290,38 @@ class FieldEvaluator:
             buckets.append(small)
         return buckets
 
-    def warmup(self) -> None:
-        """Compile every chunk-size bucket (amortized across shapes)."""
+    def warmup(self, refine_iters: typing.Optional[int] = None) -> None:
+        """Compile every chunk-size bucket (amortized across shapes);
+        with refine_iters also the device-refinement programs."""
         for c in self._chunk_sizes():
             self(np.zeros((c, 3), np.float32))
+            if refine_iters:
+                z3 = np.zeros((c, 3), np.float32)
+                z1 = np.ones((c,), np.float32)
+                self.refine_bisection(z3, z3, z3, z1, -z1, refine_iters)
 
     def __call__(self, queries: np.ndarray) -> np.ndarray:
-        """queries (M, 3) -> field (M,), evaluated in padded static chunks."""
+        """queries (M, 3) -> field (M,), evaluated in padded static chunks.
+
+        Queries are Morton-sorted (in the cloud's code box) before
+        chunking, so every 128-query kernel tile is a compact spatial
+        brick — the banded kNN's happy path — and results are scattered
+        back to the caller's order. The sort also groups chunk work
+        spatially, which helps every gather downstream.
+        """
         m = queries.shape[0]
         if m == 0:
             return np.zeros((0,), np.float32)
+        from ppsurf_tpu.ops.morton import morton_order
+
+        qorder = morton_order(queries, *self._bbox)
+        queries = np.ascontiguousarray(queries[qorder])
         buckets = self._chunk_sizes()
         out = np.empty((m,), np.float32)
+        # submit every chunk before fetching any result: JAX dispatch is
+        # async, so device compute overlaps the host-side padding work and
+        # the per-chunk result transfers of earlier chunks
+        pending = []  # (start, take, device_values)
         start = 0
         while start < m:
             remaining = m - start
@@ -226,15 +331,86 @@ class FieldEvaluator:
             pad = c - q.shape[0]
             if pad:
                 q = np.concatenate([q, np.zeros((pad, 3), np.float32)])
-            vals = np.asarray(
-                self._eval_chunk(
-                    self.variables, self.pts, self.latents,
-                    jnp.asarray(q)[None],
-                    self.pts_raw if self.pts_raw is not None else self.pts,
-                    self.raw_valid if self.pts_raw is not None else jnp.ones((1, 1), bool),
-                )
+            vals = self._eval_chunk(
+                self.variables, self.pts, self.latents,
+                jnp.asarray(q)[None],
+                self.pts_raw if self.pts_raw is not None else self.pts,
+                self.raw_valid if self.pts_raw is not None else jnp.ones((1, 1), bool),
             )
             take = c - pad
-            out[start : start + take] = vals[:take]
+            pending.append((start, take, vals))
             start += take
-        return out
+        for s, take, vals in pending:
+            out[s : s + take] = np.asarray(vals)[:take]
+        unsorted = np.empty((m,), np.float32)
+        unsorted[qorder] = out
+        return unsorted
+
+    def refine_bisection(
+        self,
+        v: np.ndarray,  # (M, 3) current vertex positions (world)
+        v1: np.ndarray,
+        v2: np.ndarray,
+        p1: np.ndarray,  # (M,) field at v1 / v2
+        p2: np.ndarray,
+        iters: int,
+    ) -> np.ndarray:
+        """Run the full bisection refinement on device.
+
+        Parity: reference `poco_utils.py:111-168` — identical update rule,
+        but all `iters` rounds of each chunk stay on device (one scanned
+        program per chunk-size bucket) instead of `iters` host loops over
+        every chunk. Vertices are Morton-sorted for the banded kNN; chunks
+        are submitted asynchronously.
+        """
+        m = v.shape[0]
+        if m == 0 or iters == 0:
+            return np.asarray(v, np.float32)
+        from ppsurf_tpu.ops.morton import morton_order
+
+        order = morton_order(v, *self._bbox)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(m)
+
+        arrs = [np.asarray(a, np.float32)[order] for a in (v, v1, v2)]
+        # pad preds with +1/+1: products stay positive, so pad lanes
+        # converge to their (zero) endpoints without NaN traffic
+        preds = [np.asarray(a, np.float32)[order] for a in (p1, p2)]
+
+        refine = _make_refine_chunk(
+            self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
+            self._spec_k, self.shared_cloud, self.knn_tile, self.transform,
+            iters,
+        )
+        raw = self.pts_raw if self.pts_raw is not None else self.pts
+        rawv = (
+            self.raw_valid if self.pts_raw is not None
+            else jnp.ones((1, 1), bool)
+        )
+        buckets = self._chunk_sizes()
+        out = np.empty((m, 3), np.float32)
+        pending = []
+        start = 0
+        while start < m:
+            remaining = m - start
+            c = next((b for b in sorted(buckets) if b >= remaining), buckets[0])
+            take = min(c, remaining)
+            pad = c - take
+
+            def seg(a, fill):
+                s = a[start : start + take]
+                if pad:
+                    shape = (pad,) + s.shape[1:]
+                    s = np.concatenate([s, np.full(shape, fill, np.float32)])
+                return jnp.asarray(s)
+
+            res = refine(
+                self.variables, self.pts, self.latents, raw, rawv,
+                seg(arrs[0], 0.0), seg(arrs[1], 0.0), seg(arrs[2], 0.0),
+                seg(preds[0], 1.0), seg(preds[1], 1.0),
+            )
+            pending.append((start, take, res))
+            start += take
+        for s, take, res in pending:
+            out[s : s + take] = np.asarray(res)[:take]
+        return out[inv]

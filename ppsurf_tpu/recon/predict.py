@@ -78,6 +78,7 @@ class Predictor:
             refine_iter=spec.gen_refine_iter,
             out_value=1.0,
             progress=self._progress if self.verbose else None,
+            refine_device=evaluator.refine_bisection,
         )
         return mesh
 

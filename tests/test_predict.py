@@ -72,3 +72,48 @@ def test_latent_encoder_covers_all_points(trained_tiny):
     latents = predictor.encoder(variables, pts, jax.random.key(0))
     assert latents.shape == (300, spec.network_latent_size)
     assert np.isfinite(latents).all()
+
+
+def test_device_refinement_matches_host_loop(trained_tiny):
+    """FieldEvaluator.refine_bisection == the host bisection loop.
+
+    Parity: reference `poco_utils.py:111-168`; the device path is the same
+    update rule inside one scanned program per chunk."""
+    from ppsurf_tpu.recon.engine import reconstruct_mesh
+    from ppsurf_tpu.recon.field import FieldEvaluator, LatentEncoder
+
+    spec, variables, dm = trained_tiny
+    rng = np.random.RandomState(2)
+    # sphere-ish cloud so the blended field below has a guaranteed crossing
+    u = rng.randn(1500, 3).astype(np.float32)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pts = 0.4 * u
+
+    import jax.numpy as jnp
+
+    def blend(vals, q):
+        return 0.1 * vals + (
+            jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)) - 0.4
+        )
+
+    net = spec.make_network()
+    encoder = LatentEncoder(net, spec, knn_tile=64)
+    latents = encoder(variables, pts, jax.random.key(3))
+    evaluator = FieldEvaluator(
+        net, spec, variables, pts, latents, pts_raw=pts, knn_tile=64,
+        transform=blend,
+    )
+
+    kwargs = dict(
+        input_points=pts, resolution=17, refine_iter=3, progress=None
+    )
+    mesh_host = reconstruct_mesh(evaluator, **kwargs)
+    mesh_dev = reconstruct_mesh(
+        evaluator, refine_device=evaluator.refine_bisection, **kwargs
+    )
+    assert mesh_host is not None and mesh_dev is not None
+    assert mesh_host.vertices.shape == mesh_dev.vertices.shape
+    np.testing.assert_allclose(
+        mesh_dev.vertices, mesh_host.vertices, rtol=0, atol=1e-5
+    )
+    np.testing.assert_array_equal(mesh_dev.faces, mesh_host.faces)
