@@ -249,6 +249,13 @@ def main(argv=None, default_configs=()):
 
     spec, train_cfg, datamodule = build_components(cfg)
 
+    # multi-host (DCN) entry, env-gated: PPSURF_DIST=1 or
+    # JAX_COORDINATOR_ADDRESS=... (see parallel/mesh.py); must run before
+    # the first backend touch so every process joins the same world
+    from ppsurf_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
+
     if train_cfg.debug:
         import jax
 
@@ -281,7 +288,12 @@ def main(argv=None, default_configs=()):
         from ppsurf_tpu.recon.predict import Predictor
         from ppsurf_tpu.train.evaluate import evaluate_reconstructions
 
-        predictor = Predictor(spec, variables)
+        # unlike the reference (restricted to --trainer.devices 1,
+        # `poco_model.py:189-190`), reconstruction shards query chunks
+        # over all requested local devices
+        devices = trainer.get("devices")
+        devices = None if devices in (None, "auto") else int(devices)
+        predictor = Predictor(spec, variables, devices=devices)
         predictor.predict_dataset(datamodule.predict_dataset())
         evaluate_reconstructions(spec, datamodule.paths.in_file)
         return 0

@@ -67,15 +67,50 @@ def comparison_main(
     ]
     make_dataset_comparison(reports, os.path.join(comp_ds_dir, "comp_mean.xlsx"))
 
-    # CD-colored meshes (renders are optional tooling)
+    # CD-colored meshes + PNG renders for the qualitative gallery
+    # (reference `make_comparison.py:60-88`: visualize_chamfer_distance_pool
+    # then render_meshes for GT / input clouds / per-method CD meshes)
+    renders: typing.Optional[dict] = None
+    pc_renders = gt_renders = None
     if render:
+        from ppsurf_tpu.utils.visualization import render_meshes
+
+        gts = [os.path.join(gt_dir, f"{n}.ply") for n in shape_names]
+        gt_renders = [
+            os.path.join(comp_ds_dir, "renders", "gt", f"{n}.png")
+            for n in shape_names
+        ]
+        render_meshes(gts, gt_renders, workers)
+
+        pc_dir = os.path.join(data_dir, dataset, "04_pts_vis")
+        pcs = [os.path.join(pc_dir, f"{n}.xyz.ply") for n in shape_names]
+        if not all(os.path.isfile(p) for p in pcs):
+            pcs = [os.path.join(pc_dir, f"{n}.ply") for n in shape_names]
+        pc_renders = [
+            os.path.join(comp_ds_dir, "renders", "pc", f"{n}.png")
+            for n in shape_names
+        ]
+        render_meshes(pcs, pc_renders, workers)
+
+        renders = {}
         for m in methods:
             rec_dir = os.path.join(results_dir, m, dataset, "meshes")
             out_dir = os.path.join(results_dir, m, dataset, "cd_vis")
             recs = [os.path.join(rec_dir, f"{n}.xyz.ply") for n in shape_names]
-            gts = [os.path.join(gt_dir, f"{n}.ply") for n in shape_names]
             outs = [os.path.join(out_dir, f"{n}.xyz.ply") for n in shape_names]
             visualize_chamfer_distance_pool(recs, gts, outs, dist_cut_off, workers)
+            pngs = [
+                os.path.join(results_dir, m, dataset, "cd_vis_renders", f"{n}.png")
+                for n in shape_names
+            ]
+            render_meshes(
+                [o for o in outs if os.path.isfile(o)],
+                [p for o, p in zip(outs, pngs) if os.path.isfile(o)],
+                workers,
+            )
+            for n, p in zip(shape_names, pngs):
+                if os.path.isfile(p):
+                    renders[(m, n)] = p
 
     # HTML gallery with the metric matrix
     def metric_matrix(metric_file: str) -> np.ndarray:
@@ -97,6 +132,9 @@ def comparison_main(
         metrics_cd=metric_matrix("chamfer_distance.xlsx"),
         metrics_iou=metric_matrix("iou.xlsx"),
         metrics_nc=metric_matrix("normal_error.xlsx"),
+        renders=renders,
+        pc_renders=pc_renders,
+        gt_renders=gt_renders,
     )
 
 

@@ -242,42 +242,72 @@ def make_html_report(
     metrics_iou: np.ndarray,
     metrics_nc: np.ndarray,
     renders: typing.Optional[dict] = None,
+    pc_renders: typing.Optional[typing.Sequence[str]] = None,
+    gt_renders: typing.Optional[typing.Sequence[str]] = None,
+    img_size: int = 300,
 ) -> str:
     """Qualitative/quantitative HTML gallery (reference `evaluation.py:62-206`).
 
-    Image renders are optional (the reference embeds pyglet/Blender renders;
-    we emit the metric matrix and hook render paths in when provided).
+    Layout follows the reference: one row per shape with sticky
+    name/point-cloud/GT columns, then one column per method showing its
+    CD-colored render and CD/IoU/NCE numbers. Render paths (relative to
+    the report file) come from the comparison driver's render pass; a
+    numbers-only matrix is emitted when renders are absent.
     """
+    report_dir = os.path.dirname(os.path.abspath(report_file_out))
+
+    def rel(p):
+        return os.path.relpath(os.path.abspath(p), report_dir).replace(
+            "\\", "/"
+        )
+
+    def img(path):
+        return (
+            f"<img src='{rel(path)}' alt='{os.path.basename(path)}' "
+            f"width='{img_size}' height='{img_size}'/>"
+        )
+
     rows = []
     for si, shape in enumerate(shape_names):
-        cells = [f"<td class='sticky'>{shape}</td>"]
+        cells = [f"<td class='sticky'>{shape.replace('_', ' ')}</td>"]
+        if pc_renders is not None:
+            cells.append(f"<td class='sticky'>{img(pc_renders[si])}</td>")
+        if gt_renders is not None:
+            cells.append(f"<td class='sticky'>{img(gt_renders[si])}</td>")
         for mi, method in enumerate(methods):
             cd = metrics_cd[mi][si]
             iou = metrics_iou[mi][si]
             nc = metrics_nc[mi][si]
-            img = ""
+            pic = ""
             if renders and (method, shape) in renders:
-                img = f"<img src='{renders[(method, shape)]}' width='100%'/>"
+                pic = img(renders[(method, shape)]) + "<br/>"
             cells.append(
-                f"<td>{img}CD: {cd:.4g}<br/>IoU: {iou:.4g}<br/>NC: {nc:.4g}</td>"
+                f"<td>{pic}CD: {cd * 100.0:.2f}, IoU: {iou:.2f}, "
+                f"NCE: {nc:.2f}</td>"
             )
         rows.append("<tr>" + "".join(cells) + "</tr>")
 
-    head_cells = "".join(f"<th>{m}</th>" for m in methods)
+    heads = ["Shape Name"]
+    if pc_renders is not None:
+        heads.append("Point Cloud")
+    if gt_renders is not None:
+        heads.append("GT Object")
+    heads += [m.replace("_", " ") for m in methods]
+    head_cells = "".join(f"<th>{h}</th>" for h in heads)
     html = f"""<!DOCTYPE html>
 <html><head><title>{comp_name}</title>
 <style>
  td {{ border: 1px solid #000; vertical-align: top; }}
  table {{ width: 100%; border-collapse: collapse; }}
- th {{ border: 1px solid #000; background: #EEE; position: sticky; top: 0; }}
+ th {{ border: 1px solid #000; background: #EEE; position: sticky; top: 0; z-index: 2; }}
  tr:hover {{ background-color: #D6EEEE; }}
- td.sticky {{ position: sticky; left: 0; background: #FFF; }}
+ td.sticky {{ position: sticky; left: 0; background: #FFF; z-index: 1; }}
 </style></head>
 <body><h1>{comp_name}</h1>
-<table><tr><th>Shape</th>{head_cells}</tr>
+<table><tr>{head_cells}</tr>
 {''.join(rows)}
 </table></body></html>"""
-    os.makedirs(os.path.dirname(os.path.abspath(report_file_out)), exist_ok=True)
+    os.makedirs(report_dir, exist_ok=True)
     with open(report_file_out, "w") as fp:
         fp.write(html)
     return report_file_out

@@ -66,8 +66,58 @@ def _load() -> typing.Optional[ctypes.CDLL]:
     lib.rg_next_frontier.argtypes = [
         f64p, i64, i64, i64, i32p, i64, i64, u8p, u8p, ctypes.c_uint8, i32p, i64,
     ]
+    lib.render_mesh.argtypes = [
+        f32p, i64, i32p, i64, ctypes.c_void_p, f64p, i64, i64,
+        ctypes.c_double, u8p,
+    ]
+    lib.render_points.argtypes = [
+        f32p, i64, ctypes.c_void_p, f64p, i64, i64, ctypes.c_double, i64, u8p,
+    ]
     _lib = lib
     return _lib
+
+
+def render_mesh_native(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors,  # (V, 3) uint8 or None
+    view: np.ndarray,  # (4, 4) row-major world->camera
+    width: int,
+    height: int,
+    fov_deg: float,
+    background: np.ndarray,  # (H, W, 3) uint8, written in place
+) -> np.ndarray:
+    """Z-buffer rasterize a mesh into `background` (native renderer)."""
+    lib = _load()
+    v = np.ascontiguousarray(verts, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    col_p = None
+    if colors is not None:
+        colors = np.ascontiguousarray(colors, np.uint8)
+        col_p = colors.ctypes.data_as(ctypes.c_void_p)
+    lib.render_mesh(
+        v, v.shape[0], f, f.shape[0], col_p,
+        np.ascontiguousarray(view, np.float64), width, height, fov_deg,
+        background,
+    )
+    return background
+
+
+def render_points_native(
+    verts, colors, view, width, height, fov_deg, splat, background
+):
+    """Splat a point cloud into `background` (native renderer)."""
+    lib = _load()
+    v = np.ascontiguousarray(verts, np.float32)
+    col_p = None
+    if colors is not None:
+        colors = np.ascontiguousarray(colors, np.uint8)
+        col_p = colors.ctypes.data_as(ctypes.c_void_p)
+    lib.render_points(
+        v, v.shape[0], col_p, np.ascontiguousarray(view, np.float64),
+        width, height, fov_deg, splat, background,
+    )
+    return background
 
 
 class RegionGrowState:

@@ -36,9 +36,13 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-KNN_BAND = 16  # banded-kNN block count: certificate p99 is ~9 blocks on ABC
-# clouds (60k pts, k=64 grid queries), so 16 makes in-kernel fallback rare
-# while cutting the one-hot gather + extraction ~4x (ops/knn_pallas.py)
+import os as _os
+
+KNN_BAND = int(_os.environ.get("PPSURF_KNN_BAND", "16"))
+# banded-kNN block count: certificate p99 is ~9 blocks on ABC clouds
+# (60k pts, k=64 grid queries), so 16 makes in-kernel fallback rare while
+# cutting the one-hot gather + extraction ~4x (ops/knn_pallas.py).
+# 0 disables the band (full exact path); env override for benchmarking.
 
 
 @functools.lru_cache(maxsize=32)
@@ -105,6 +109,72 @@ def _make_eval_chunk(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
         _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
                          knn_tile, transform)
     )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_eval_multi(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
+                     transform, num_chunks):
+    """Jitted evaluation of `num_chunks` chunks in ONE dispatch (lax.map).
+
+    The remote-execution layer pays a large and *cumulatively growing* cost
+    per dispatch of the big fused program (measured: 56 per-chunk
+    dispatches degraded from 240 ms to 730 ms each across calls); mapping
+    a power-of-two group of chunks inside one program keeps the device
+    busy with a single dispatch. Query groups are assembled by binary
+    decomposition in FieldEvaluator.__call__, so only log2 program
+    variants ever compile.
+    """
+    body = _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
+                            knn_tile, transform)
+
+    def eval_multi(variables, pts_all, latents, queries, pts_raw, raw_valid):
+        """queries: (num_chunks, C, 3) -> (num_chunks, C)."""
+        return jax.lax.map(
+            lambda qc: body(variables, pts_all, latents, qc[None],
+                            pts_raw, raw_valid),
+            queries,
+        )
+
+    return jax.jit(eval_multi)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_eval_sharded(net, is_ppsurf, num_pts_local, spec_k, shared,
+                       knn_tile, transform, mesh):
+    """Jitted evaluation of one query chunk PER DEVICE via shard_map.
+
+    The reference's reconstruction is restricted to a single GPU
+    (`poco_model.py:189-190`, `--trainer.devices 1`); here the cloud,
+    latents and weights are replicated over the mesh's `data` axis and
+    each device evaluates its own chunk — the SURVEY §2.2 designed
+    improvement. Results are identical to the single-device path (each
+    chunk's program is the same chunk body).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    body = _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
+                            knn_tile, transform)
+
+    def per_device(variables, pts_all, latents, queries, pts_raw, raw_valid):
+        # queries block: (1, C, 3) on each device
+        return body(variables, pts_all, latents, queries, pts_raw,
+                    raw_valid)[None]  # (1, C)
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data"), P(), P()),
+        out_specs=P("data"),
+        check_vma=False,  # pallas kNN inside (same setting as train/loop.py)
+    )
+
+    def eval_sharded(variables, pts_all, latents, queries, pts_raw, raw_valid):
+        """queries: (D, C, 3) -> (D, C)."""
+        return sharded(variables, pts_all, latents, queries, pts_raw,
+                       raw_valid)
+
+    return jax.jit(eval_sharded)
 
 
 @functools.lru_cache(maxsize=32)
@@ -224,6 +294,15 @@ class LatentEncoder:
 class FieldEvaluator:
     """Static-shape chunked evaluation of the occupancy field."""
 
+    _max_inflight = 3  # async dispatches in flight (see __call__)
+    _MULTI_GROUPS = (32, 16, 8, 4, 2)  # lax.map group sizes (binary decomp)
+
+    def _eval_multi(self, g: int):
+        return _make_eval_multi(
+            self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
+            self._spec_k, self.shared_cloud, self.knn_tile, self.transform, g,
+        )
+
     def __init__(
         self,
         net,
@@ -234,12 +313,14 @@ class FieldEvaluator:
         pts_raw: typing.Optional[np.ndarray] = None,  # (R, 3) raw cloud (patches)
         knn_tile: int = 512,
         transform: typing.Optional[typing.Callable] = None,
+        mesh=None,  # jax.sharding.Mesh with a 'data' axis: one chunk/device
     ):
         self.net = net
         self.spec = spec
         self.variables = variables
         self.chunk = spec.rec_batch_size
         self.transform = transform
+        self.mesh = mesh
         # When the patch branch queries the same cloud the decoder does
         # (the standard predict path: latents are kept per input point and
         # patches come from the input cloud, `poco_model.py:200-236` +
@@ -290,15 +371,20 @@ class FieldEvaluator:
             buckets.append(small)
         return buckets
 
-    def warmup(self, refine_iters: typing.Optional[int] = None) -> None:
+    def warmup(self, refine_iters: typing.Optional[int] = None,
+               multi: bool = False) -> None:
         """Compile every chunk-size bucket (amortized across shapes);
-        with refine_iters also the device-refinement programs."""
+        with refine_iters also the device-refinement programs, with multi
+        the grouped lax.map dispatch variants."""
         for c in self._chunk_sizes():
             self(np.zeros((c, 3), np.float32))
             if refine_iters:
                 z3 = np.zeros((c, 3), np.float32)
                 z1 = np.ones((c,), np.float32)
                 self.refine_bisection(z3, z3, z3, z1, -z1, refine_iters)
+        if multi:
+            for g in self._MULTI_GROUPS:
+                self(np.zeros((g * self.chunk, 3), np.float32))
 
     def __call__(self, queries: np.ndarray) -> np.ndarray:
         """queries (M, 3) -> field (M,), evaluated in padded static chunks.
@@ -317,31 +403,84 @@ class FieldEvaluator:
         qorder = morton_order(queries, *self._bbox)
         queries = np.ascontiguousarray(queries[qorder])
         buckets = self._chunk_sizes()
+        chunk = self.chunk
+        raw = self.pts_raw if self.pts_raw is not None else self.pts
+        rawv = (
+            self.raw_valid if self.pts_raw is not None
+            else jnp.ones((1, 1), bool)
+        )
         out = np.empty((m,), np.float32)
-        # submit every chunk before fetching any result: JAX dispatch is
-        # async, so device compute overlaps the host-side padding work and
-        # the per-chunk result transfers of earlier chunks
-        pending = []  # (start, take, device_values)
+        # keep a small window of dispatches in flight: async dispatch
+        # overlaps device compute with host padding + result transfers, but
+        # an unbounded queue degrades the remote execution layer badly
+        pending = []  # (start, take, device_values, grouped)
+
+        def drain(limit):
+            while len(pending) > limit:
+                s, take, vals, grouped = pending.pop(0)
+                flat = np.asarray(vals).reshape(-1) if grouped else np.asarray(vals)
+                out[s : s + take] = flat[:take]
+
+        full_chunks = m // chunk
         start = 0
+        # sharded path: one chunk per device of the mesh's data axis
+        # (SURVEY §2.2 — the reference is restricted to devices=1)
+        if self.mesh is not None:
+            d = int(np.prod(self.mesh.devices.shape))
+            sharded = _make_eval_sharded(
+                self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
+                self._spec_k, self.shared_cloud, self.knn_tile,
+                self.transform, self.mesh,
+            )
+            while full_chunks - start // chunk >= d:
+                q = np.ascontiguousarray(
+                    queries[start : start + d * chunk]
+                ).reshape(d, chunk, 3)
+                vals = sharded(
+                    self.variables, self.pts, self.latents, jnp.asarray(q),
+                    raw, rawv,
+                )
+                pending.append((start, d * chunk, vals, True))
+                start += d * chunk
+                drain(self._max_inflight)
+
+        # group full-size chunks into power-of-two lax.map dispatches
+        # (binary decomposition): one dispatch per group instead of one per
+        # chunk — per-dispatch overhead on the remote platform is large and
+        # grows with the number of heavy dispatches issued
+        for g in self._MULTI_GROUPS:
+            while full_chunks - start // chunk >= g:
+                q = np.ascontiguousarray(
+                    queries[start : start + g * chunk]
+                ).reshape(g, chunk, 3)
+                vals = self._eval_multi(g)(
+                    self.variables, self.pts, self.latents, jnp.asarray(q),
+                    raw, rawv,
+                )
+                pending.append((start, g * chunk, vals, True))
+                start += g * chunk
+                drain(self._max_inflight)
+
         while start < m:
             remaining = m - start
             # smallest bucket that covers the remainder, else the largest
             c = next((b for b in sorted(buckets) if b >= remaining), buckets[0])
-            q = queries[start : start + c]
+            # independent copy: handing the transfer layer a VIEW of the
+            # full query array makes it reprocess the whole base buffer
+            # per chunk on the remote platform
+            q = np.ascontiguousarray(queries[start : start + c])
             pad = c - q.shape[0]
             if pad:
                 q = np.concatenate([q, np.zeros((pad, 3), np.float32)])
             vals = self._eval_chunk(
                 self.variables, self.pts, self.latents,
-                jnp.asarray(q)[None],
-                self.pts_raw if self.pts_raw is not None else self.pts,
-                self.raw_valid if self.pts_raw is not None else jnp.ones((1, 1), bool),
+                jnp.asarray(q)[None], raw, rawv,
             )
             take = c - pad
-            pending.append((start, take, vals))
+            pending.append((start, take, vals, False))
             start += take
-        for s, take, vals in pending:
-            out[s : s + take] = np.asarray(vals)[:take]
+            drain(self._max_inflight)
+        drain(0)
         unsorted = np.empty((m,), np.float32)
         unsorted[qorder] = out
         return unsorted
@@ -390,6 +529,12 @@ class FieldEvaluator:
         buckets = self._chunk_sizes()
         out = np.empty((m, 3), np.float32)
         pending = []
+
+        def drain(limit):
+            while len(pending) > limit:
+                s, take, res = pending.pop(0)
+                out[s : s + take] = np.asarray(res)[:take]
+
         start = 0
         while start < m:
             remaining = m - start
@@ -411,6 +556,6 @@ class FieldEvaluator:
             )
             pending.append((start, take, res))
             start += take
-        for s, take, res in pending:
-            out[s : s + take] = np.asarray(res)[:take]
+            drain(self._max_inflight)
+        drain(0)
         return out[inv]

@@ -33,13 +33,24 @@ class Predictor:
         variables: dict,
         knn_tile: int = 512,
         verbose: bool = True,
+        devices: typing.Optional[int] = None,
     ):
+        """devices: shard reconstruction query chunks over this many local
+        devices (data-parallel inference — the reference is restricted to
+        one GPU, `poco_model.py:189-190`). None/1 = single device; values
+        above the local device count are clamped."""
         self.spec = spec
         self.net = spec.make_network()
         self.variables = variables
         self.knn_tile = knn_tile
         self.verbose = verbose
         self.encoder = LatentEncoder(self.net, spec, knn_tile=knn_tile)
+        self.mesh = None
+        n_dev = len(jax.devices())
+        if devices is not None and min(devices, n_dev) > 1:
+            from ppsurf_tpu.parallel.mesh import get_data_mesh
+
+            self.mesh = get_data_mesh(min(devices, n_dev))
 
     def _progress(self, msg: str):
         if self.verbose:
@@ -67,6 +78,7 @@ class Predictor:
         evaluator = FieldEvaluator(
             self.net, spec, self.variables, pts_raw, latents,
             pts_raw=pts_raw if spec.is_ppsurf else None, knn_tile=self.knn_tile,
+            mesh=self.mesh,
         )
 
         mesh = reconstruct_mesh(

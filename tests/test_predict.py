@@ -117,3 +117,36 @@ def test_device_refinement_matches_host_loop(trained_tiny):
         mesh_dev.vertices, mesh_host.vertices, rtol=0, atol=1e-5
     )
     np.testing.assert_array_equal(mesh_dev.faces, mesh_host.faces)
+
+
+def test_sharded_field_eval_matches_single_device(trained_tiny):
+    """Query chunks sharded over the 8-device mesh produce identical field
+    values (SURVEY §2.2: the reference is restricted to devices=1)."""
+    from ppsurf_tpu.parallel.mesh import get_data_mesh
+    from ppsurf_tpu.recon.field import FieldEvaluator, LatentEncoder
+
+    spec, variables, dm = trained_tiny
+    rng = np.random.RandomState(5)
+    pts = rng.rand(1000, 3).astype(np.float32) - 0.5
+
+    net = spec.make_network()
+    encoder = LatentEncoder(net, spec, knn_tile=64)
+    latents = encoder(variables, pts, jax.random.key(1))
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 2, "conftest should provide 8 virtual CPU devices"
+    mesh = get_data_mesh(n_dev)
+
+    # enough queries for one sharded dispatch (n_dev full chunks) + tail
+    q = rng.rand(spec.rec_batch_size * n_dev + 777, 3).astype(np.float32) - 0.5
+
+    ev_single = FieldEvaluator(
+        net, spec, variables, pts, latents, pts_raw=pts, knn_tile=64
+    )
+    ev_sharded = FieldEvaluator(
+        net, spec, variables, pts, latents, pts_raw=pts, knn_tile=64,
+        mesh=mesh,
+    )
+    vals_single = ev_single(q)
+    vals_sharded = ev_sharded(q)
+    np.testing.assert_allclose(vals_sharded, vals_single, rtol=0, atol=1e-6)
