@@ -100,8 +100,6 @@ def main() -> int:
 
         return field
 
-    n_queries_note = n_queries  # grow-phase queries accumulate over reps
-
     def make_evaluator(latents):
         return FieldEvaluator(
             net, spec, variables, pts, latents, pts_raw=pts, knn_tile=512,

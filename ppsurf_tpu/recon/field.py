@@ -151,7 +151,7 @@ def _make_eval_sharded(net, is_ppsurf, num_pts_local, spec_k, shared,
     chunk's program is the same chunk body).
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     body = _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
                             knn_tile, transform)
