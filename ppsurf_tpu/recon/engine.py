@@ -56,6 +56,8 @@ def create_volume_region_growing(
     out_value: float = 1.0,
     progress: typing.Optional[typing.Callable[[str], None]] = None,
     use_native: bool = True,
+    prefill_radius: int = 0,
+    prefill_period: int = 3,
 ) -> typing.Tuple[np.ndarray, float, float]:
     """Evaluate the field on near-surface voxels by region growing.
 
@@ -63,6 +65,16 @@ def create_volume_region_growing(
     bmin_pad). Semantics follow reference `_create_volume`
     (`poco_utils.py:178-254`): seed at input-point voxels, dilate +-2,
     evaluate, grow across sign changes until the frontier is empty.
+
+    prefill_radius > dilation_size enables SPECULATIVE PREFILL: every
+    `prefill_period` rounds, the band within +-prefill_radius of the
+    current frontier is bulk-evaluated into a value cache, so the
+    strictly sequential rounds (the frontier advances ~dilation_size
+    voxels per round along the surface) mostly read cached values instead
+    of dispatching small device batches. The grower's control flow and
+    the voxels written into `volume` are IDENTICAL either way — the field
+    is deterministic, so caching cannot change the result — only the
+    batching of device work changes.
     """
     bmin = float(input_points.min())
     bmax = float(input_points.max())
@@ -87,6 +99,36 @@ def create_volume_region_growing(
             rg = None
     unseen = None if rg is not None else np.ones(shape, dtype=bool)
 
+    # speculative-prefill cache (see docstring)
+    prefill = prefill_radius > dilation_size
+    if prefill:
+        cache_vals = np.zeros(shape, dtype=np.float32)
+        cache_mask = np.zeros(shape, dtype=bool)
+        pf_rg = (
+            native.RegionGrowState(volume, prefill_radius)
+            if rg is not None
+            else None
+        )
+
+    def eval_coords(coords: np.ndarray) -> np.ndarray:
+        """Field at voxel coords, via the prefill cache when enabled."""
+        if not prefill:
+            return eval_field(
+                coords.astype(np.float32) * step + bmin_pad
+            ).astype(np.float64)
+        hit = cache_mask[coords[:, 0], coords[:, 1], coords[:, 2]]
+        vals = np.empty(coords.shape[0], np.float64)
+        vals[hit] = cache_vals[
+            coords[hit, 0], coords[hit, 1], coords[hit, 2]
+        ]
+        miss = coords[~hit]
+        if miss.shape[0]:
+            mv = eval_field(miss.astype(np.float32) * step + bmin_pad)
+            vals[~hit] = mv
+            cache_vals[miss[:, 0], miss[:, 1], miss[:, 2]] = mv
+            cache_mask[miss[:, 0], miss[:, 1], miss[:, 2]] = True
+        return vals
+
     rounds = 0
     while pts_ids.shape[0] > 0:
         # evaluate voxels without a value yet in the +-dilation cube of the
@@ -101,13 +143,38 @@ def create_volume_region_growing(
             region &= ~np.isfinite(volume)
             coords = np.argwhere(region).astype(np.int32)
         if coords.shape[0]:
-            queries = coords.astype(np.float32) * step + bmin_pad
-            volume[coords[:, 0], coords[:, 1], coords[:, 2]] = eval_field(
-                queries
-            ).astype(np.float64)
+            volume[coords[:, 0], coords[:, 1], coords[:, 2]] = eval_coords(
+                coords
+            )
         rounds += 1
         if progress is not None:
             progress(f"region-grow round {rounds}: {coords.shape[0]} voxels")
+
+        # bulk-evaluate the speculative band around the current frontier
+        # into the cache (volume is untouched: only the grower writes it)
+        if prefill and rounds % prefill_period == 1 and pts_ids.shape[0]:
+            if pf_rg is not None:
+                band = pf_rg.dilate_unevaluated(pts_ids)
+            else:
+                fr = np.zeros(shape, dtype=bool)
+                fr[pts_ids[:, 0], pts_ids[:, 1], pts_ids[:, 2]] = True
+                reg = dilate_mask(fr, prefill_radius)
+                reg &= ~np.isfinite(volume)
+                band = np.argwhere(reg).astype(np.int32)
+            if band.shape[0]:
+                fresh = band[
+                    ~cache_mask[band[:, 0], band[:, 1], band[:, 2]]
+                ]
+                if fresh.shape[0]:
+                    fv = eval_field(
+                        fresh.astype(np.float32) * step + bmin_pad
+                    )
+                    cache_vals[fresh[:, 0], fresh[:, 1], fresh[:, 2]] = fv
+                    cache_mask[fresh[:, 0], fresh[:, 1], fresh[:, 2]] = True
+                    if progress is not None:
+                        progress(
+                            f"  prefill band: {fresh.shape[0]} voxels"
+                        )
 
         if rg is not None:
             pts_ids = rg.next_frontier(pts_ids)
@@ -226,16 +293,20 @@ def reconstruct_mesh(
     min_component_faces: int = 6,
     progress: typing.Optional[typing.Callable[[str], None]] = None,
     refine_device: typing.Optional[typing.Callable] = None,
+    prefill_radius: int = 0,
 ) -> typing.Optional[Mesh]:
     """Full reconstruction (reference
     `export_mesh_and_refine_vertices_region_growing_v3`).
 
     refine_device: optional on-device bisection
     (FieldEvaluator.refine_bisection) — same results, no host loop.
+    prefill_radius: speculative-prefill band for region growing (see
+    create_volume_region_growing) — same results, fewer device batches.
     """
     volume, step, bmin_pad = create_volume_region_growing(
         eval_field, input_points, resolution, padding=padding,
         dilation_size=dilation_size, out_value=out_value, progress=progress,
+        prefill_radius=prefill_radius,
     )
 
     finite = volume[np.isfinite(volume)]

@@ -190,3 +190,47 @@ class TestNativeRegionGrowing:
         np.testing.assert_allclose(
             vol_np[np.isfinite(vol_np)], vol_na[np.isfinite(vol_na)]
         )
+
+
+class TestPrefillRegionGrowing:
+    def test_prefill_identical_volume_and_mesh(self):
+        """Speculative prefill changes only the batching of field
+        evaluations, never the grower's outputs."""
+        from ppsurf_tpu.recon.engine import (
+            create_volume_region_growing,
+            reconstruct_mesh,
+        )
+
+        rng = np.random.RandomState(0)
+        u = rng.randn(1200, 3).astype(np.float32)
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        pts = 0.4 * u  # noisy sphere cloud
+
+        calls = []
+
+        def field(q):
+            calls.append(q.shape[0])
+            # wavy sphere: forces growth beyond the seed crust
+            return (
+                np.linalg.norm(q, axis=1)
+                - 0.4
+                - 0.06 * np.sin(9.0 * q[:, 0])
+            ).astype(np.float32)
+
+        v0, s0, b0 = create_volume_region_growing(
+            field, pts, resolution=33, prefill_radius=0
+        )
+        n_calls_plain = len(calls)
+        calls.clear()
+        v1, s1, b1 = create_volume_region_growing(
+            field, pts, resolution=33, prefill_radius=6
+        )
+        assert s0 == s1 and b0 == b1
+        np.testing.assert_array_equal(np.isnan(v0), np.isnan(v1))
+        np.testing.assert_array_equal(v0[~np.isnan(v0)], v1[~np.isnan(v1)])
+        assert len(calls) < n_calls_plain  # fewer, bigger device batches
+
+        m0 = reconstruct_mesh(field, pts, 33, refine_iter=2)
+        m1 = reconstruct_mesh(field, pts, 33, refine_iter=2, prefill_radius=6)
+        np.testing.assert_array_equal(m0.faces, m1.faces)
+        np.testing.assert_allclose(m0.vertices, m1.vertices, rtol=0, atol=0)
