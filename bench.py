@@ -136,7 +136,7 @@ def main() -> int:
                 file=sys.stderr, flush=True,
             ),
             refine_device=evaluator.refine_bisection,
-            prefill_radius=int(os.environ.get("BENCH_PREFILL", "8")),
+            prefill_radius=int(os.environ.get("BENCH_PREFILL", "6")),
         )
         rep_elapsed = time.time() - t0
         if rep_elapsed < elapsed:

@@ -57,7 +57,8 @@ def create_volume_region_growing(
     progress: typing.Optional[typing.Callable[[str], None]] = None,
     use_native: bool = True,
     prefill_radius: int = 0,
-    prefill_period: int = 3,
+    prefill_period: int = 2,
+    prefill_start: int = 4,
 ) -> typing.Tuple[np.ndarray, float, float]:
     """Evaluate the field on near-surface voxels by region growing.
 
@@ -66,8 +67,10 @@ def create_volume_region_growing(
     (`poco_utils.py:178-254`): seed at input-point voxels, dilate +-2,
     evaluate, grow across sign changes until the frontier is empty.
 
-    prefill_radius > dilation_size enables SPECULATIVE PREFILL: every
-    `prefill_period` rounds, the band within +-prefill_radius of the
+    prefill_radius > dilation_size enables SPECULATIVE PREFILL: from
+    round `prefill_start` on (the early frontier hugs the seed crust and
+    is huge — prefilling around it wastes millions of queries), every
+    `prefill_period` rounds the band within +-prefill_radius of the
     current frontier is bulk-evaluated into a value cache, so the
     strictly sequential rounds (the frontier advances ~dilation_size
     voxels per round along the surface) mostly read cached values instead
@@ -152,7 +155,12 @@ def create_volume_region_growing(
 
         # bulk-evaluate the speculative band around the current frontier
         # into the cache (volume is untouched: only the grower writes it)
-        if prefill and rounds % prefill_period == 1 and pts_ids.shape[0]:
+        if (
+            prefill
+            and rounds >= prefill_start
+            and (rounds - prefill_start) % prefill_period == 0
+            and pts_ids.shape[0]
+        ):
             if pf_rg is not None:
                 band = pf_rg.dilate_unevaluated(pts_ids)
             else:

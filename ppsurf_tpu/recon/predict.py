@@ -91,7 +91,7 @@ class Predictor:
             out_value=1.0,
             progress=self._progress if self.verbose else None,
             refine_device=evaluator.refine_bisection,
-            prefill_radius=8,
+            prefill_radius=6,
         )
         return mesh
 
