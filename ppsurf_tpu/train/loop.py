@@ -58,6 +58,12 @@ class TrainConfig:
     knn_tile: int = 512
     debug: bool = False  # enables jax NaN-checking (reference --debug)
     profiler: typing.Optional[str] = None  # 'jax' -> trace early steps
+    # False (default) = BatchNorm running stats / norm_radius EMAs come
+    # from device 0's local batches only, matching the reference's
+    # UNSYNCED per-rank BN under Lightning DDP, whose checkpoints carry
+    # rank 0's stats (SURVEY.md §7 hard part 5: "do not sync").
+    # True = average stats across the mesh (statistically better).
+    sync_batch_stats: bool = False
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -111,7 +117,8 @@ def _loss_and_aux(net, spec: ModelSpec, params, batch_stats, batch, key, train: 
     return loss, (conf, new_stats)
 
 
-def make_train_step(net, spec: ModelSpec, tx, mesh, knn_tile: int = 512):
+def make_train_step(net, spec: ModelSpec, tx, mesh, knn_tile: int = 512,
+                    sync_batch_stats: bool = False):
     """Data-parallel train step: graph build + fwd/bwd + psum + update."""
 
     def local_step(state: TrainState, batch, key):
@@ -129,7 +136,17 @@ def make_train_step(net, spec: ModelSpec, tx, mesh, knn_tile: int = 512):
         grads = jax.lax.pmean(grads, "data")
         loss = jax.lax.pmean(loss, "data")
         conf = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "data"), conf)
-        new_stats = jax.lax.pmean(new_stats, "data")
+        if sync_batch_stats:
+            new_stats = jax.lax.pmean(new_stats, "data")
+        else:
+            # reference parity: rank-local BN; checkpoints carry rank 0's
+            # stats (Lightning DDP saves rank 0). Selecting device 0's
+            # values keeps the replicated-state invariant.
+            is0 = (jax.lax.axis_index("data") == 0).astype(jnp.float32)
+            new_stats = jax.tree_util.tree_map(
+                lambda x: jax.lax.psum(x * is0.astype(x.dtype), "data"),
+                new_stats,
+            )
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -289,7 +306,8 @@ class Trainer:
             state = self.restore_checkpoint(state, ckpt_path)
 
         train_step = make_train_step(
-            self.net, self.spec, self.tx, self.mesh, cfg.knn_tile
+            self.net, self.spec, self.tx, self.mesh, cfg.knn_tile,
+            sync_batch_stats=cfg.sync_batch_stats,
         )
         eval_step = make_eval_step(self.net, self.spec, self.mesh, cfg.knn_tile)
 

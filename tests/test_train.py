@@ -135,3 +135,67 @@ def test_fit_resume_from_checkpoint(abc_minimal_dir, tmp_path):
     t3 = Trainer(spec, cfg)
     state3 = t3.fit(dm, ckpt_path=os.path.join(t1.ckpt_dir, "last"))
     assert int(jax.device_get(state3.step)) == steps_after_1
+
+
+def test_rank_local_batch_stats_match_device0(tmp_path):
+    """Default (unsynced) BN: running stats equal a single-device run over
+    device 0's sub-batch — the reference's per-rank DDP BN whose
+    checkpoints carry rank 0's stats (SURVEY.md §7 hard part 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ppsurf_tpu.parallel.mesh import get_data_mesh, replicate, shard_batch
+    from ppsurf_tpu.train.loop import (
+        TrainConfig,
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+    from ppsurf_tpu.train.model import ppsurf_spec
+
+    spec = ppsurf_spec(
+        network_latent_size=16, pointnet_latent_size=16, num_pts_local=8, k=8
+    )
+    net = spec.make_network()
+    rng = np.random.RandomState(0)
+    b, n, q, raw = 2, 64, 16, 128
+    batch_np = {
+        "pts_ms": rng.rand(b, n, 3).astype(np.float32) - 0.5,
+        "pts_query_ms": rng.rand(b, q, 3).astype(np.float32) - 0.5,
+        "occ": (rng.rand(b, q) > 0.5).astype(np.int32),
+        "pts_raw_ms": rng.rand(b, raw, 3).astype(np.float32) - 0.5,
+        "raw_valid": np.ones((b, raw), bool),
+    }
+    key = jax.random.key(0)
+    data0 = spec.assemble_step_data(
+        {k: jnp.asarray(v[:1]) for k, v in batch_np.items()}, key, knn_tile=64
+    )
+    variables = net.init(jax.random.key(1), data0)
+
+    def one_step(num_devices, batch_slice):
+        cfg = TrainConfig(batch_size=num_devices, num_devices=num_devices,
+                          knn_tile=64)
+        mesh = get_data_mesh(num_devices)
+        tx, _ = make_optimizer(cfg, steps_per_epoch=1)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=jax.tree_util.tree_map(jnp.copy, variables["params"]),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.copy, variables.get("batch_stats", {})
+            ),
+            opt_state=tx.init(variables["params"]),
+        )
+        state = replicate(state, mesh)
+        step_fn = make_train_step(net, spec, tx, mesh, knn_tile=64)
+        batch = shard_batch(
+            {k: v[batch_slice] for k, v in batch_np.items()}, mesh
+        )
+        new_state, _, _ = step_fn(state, batch, key)
+        return jax.device_get(new_state.batch_stats)
+
+    stats_2dev = one_step(2, slice(0, 2))
+    stats_dev0 = one_step(1, slice(0, 1))
+    jax.tree_util.tree_map(
+        lambda a, b2: np.testing.assert_allclose(a, b2, rtol=1e-5, atol=1e-6),
+        stats_2dev, stats_dev0,
+    )
