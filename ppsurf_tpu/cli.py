@@ -291,7 +291,7 @@ def main(argv=None, default_configs=()):
         # unlike the reference (restricted to --trainer.devices 1,
         # `poco_model.py:189-190`), reconstruction shards query chunks
         # over all requested local devices
-        devices = trainer.get("devices")
+        devices = (cfg.get("trainer", {}) or {}).get("devices")
         devices = None if devices in (None, "auto") else int(devices)
         predictor = Predictor(spec, variables, devices=devices)
         predictor.predict_dataset(datamodule.predict_dataset())

@@ -150,3 +150,33 @@ def test_sharded_field_eval_matches_single_device(trained_tiny):
     vals_single = ev_single(q)
     vals_sharded = ev_sharded(q)
     np.testing.assert_allclose(vals_sharded, vals_single, rtol=0, atol=1e-6)
+
+
+def test_single_file_rec_output_naming(trained_tiny, tmp_path, monkeypatch):
+    """Single-file predict writes {results_dir}/{basename}/{basename}.ply —
+    basename KEEPS its extension (reference `poco_model.py:196-199`:
+    'cloud.xyz.ply' -> 'out/cloud.xyz.ply/cloud.xyz.ply.ply')."""
+    import shutil
+
+    from ppsurf_tpu.data.datasets import ShapeDataset
+    from ppsurf_tpu.recon.predict import Predictor
+
+    spec, variables, dm = trained_tiny
+    src = os.path.join(
+        "/root/reference/datasets/abc_minimal/04_pts_vis",
+        "00010009_d97409455fa543b3a224250f_trimesh_000.xyz.ply",
+    )
+    in_file = str(tmp_path / "cloud.xyz.ply")
+    shutil.copy(src, in_file)
+
+    ds = ShapeDataset(in_file, manifold_points=None,
+                      padding_factor=spec.padding_factor)
+    predictor = Predictor(spec, variables, knn_tile=64, verbose=False)
+    out_dir = str(tmp_path / "rec_out")
+    results = predictor.predict_dataset(ds, results_dir=out_dir)
+    assert len(results) == 1
+    name, out_file, _ = results[0]
+    expected = os.path.join(out_dir, "cloud.xyz.ply", "cloud.xyz.ply.ply")
+    if out_file is not None:  # undertrained nets may not cross zero
+        assert out_file == expected
+        assert os.path.isfile(expected)
