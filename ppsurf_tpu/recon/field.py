@@ -191,8 +191,8 @@ def _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
     body = _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
                             knn_tile, transform)
 
-    def refine(variables, pts_all, latents, pts_raw, raw_valid,
-               v, v1, v2, p1, p2):
+    def refine_one(variables, pts_all, latents, pts_raw, raw_valid,
+                   v, v1, v2, p1, p2):
         """v/v1/v2 (C, 3); p1/p2 (C,) -> refined v (C, 3)."""
 
         def step(carry, _):
@@ -212,7 +212,28 @@ def _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
         )
         return v
 
-    return jax.jit(refine)
+    return jax.jit(refine_one)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_refine_multi(net, is_ppsurf, num_pts_local, spec_k, shared,
+                       knn_tile, transform, iters, num_chunks):
+    """Refine `num_chunks` vertex chunks in ONE dispatch (lax.map over the
+    per-chunk scanned refinement) — same dispatch-amortization rationale
+    as `_make_eval_multi`."""
+    one = _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
+                             knn_tile, transform, iters)
+
+    def refine_multi(variables, pts_all, latents, pts_raw, raw_valid,
+                     v, v1, v2, p1, p2):
+        """Leading axis num_chunks on v/v1/v2/p1/p2."""
+        return jax.lax.map(
+            lambda c: one(variables, pts_all, latents, pts_raw, raw_valid,
+                          *c),
+            (v, v1, v2, p1, p2),
+        )
+
+    return jax.jit(refine_multi)
 
 
 class LatentEncoder:
@@ -231,20 +252,31 @@ class LatentEncoder:
         self.knn_tile = knn_tile
         self._encode_all_cache: typing.Dict[typing.Tuple[int, int], typing.Any] = {}
 
-    def _make_encode_all(self, n: int, s: int):
+    BUCKET = 5000  # cloud sizes round up to this, so a dataset of varied
+    # clouds shares a handful of compiled programs instead of one per size
+
+    def _make_encode_all(self, nb: int, s: int):
+        """Program for bucketed cloud size nb (real size n is dynamic).
+
+        Ids come from a permutation of the bucket size taken modulo n:
+        every real point appears floor/ceil(nb/n) >= 1 times per pass, so
+        the reference's >= `gen_subsample_manifold_iter`x coverage
+        guarantee (`poco_model.py:202-236`) still holds by construction,
+        and the compiled program is independent of the exact cloud size.
+        """
         net, spec, knn_tile = self.net, self.spec, self.knn_tile
-        num_chunks = -(-n // s)
+        num_chunks = -(-nb // s)
         padded = num_chunks * s
         iters = spec.gen_subsample_manifold_iter
 
         @jax.jit
-        def encode_all(variables, pts, key):  # pts: (N, 3)
+        def encode_all(variables, pts, n, key):  # pts: (NB, 3); n: real size
             pass_keys = jax.random.split(key, iters * (1 + num_chunks))
 
             # chunk id sets for all passes: (iters*num_chunks, s)
             def make_perm(k):
-                perm = jax.random.permutation(k, n)
-                return jnp.concatenate([perm, perm[: padded - n]]).reshape(
+                perm = jax.random.permutation(k, nb) % n
+                return jnp.concatenate([perm, perm[: padded - nb]]).reshape(
                     num_chunks, s
                 )
 
@@ -269,13 +301,13 @@ class LatentEncoder:
 
             latent_dim = spec.network_latent_size
             init = (
-                jnp.zeros((n, latent_dim), jnp.float32),
-                jnp.zeros((n,), jnp.float32),
+                jnp.zeros((nb, latent_dim), jnp.float32),
+                jnp.zeros((nb,), jnp.float32),
             )
             (latent_sum, counts), _ = jax.lax.scan(
                 body, init, (all_ids, graph_keys[: all_ids.shape[0]])
             )
-            return latent_sum / counts[:, None]
+            return latent_sum / jnp.maximum(counts, 1.0)[:, None]
 
         return encode_all
 
@@ -283,12 +315,20 @@ class LatentEncoder:
         """pts: (N, 3) full cloud -> (N, L) averaged latents."""
         n = pts.shape[0]
         s = min(self.spec.gen_subsample_manifold, n)
-        cache_key = (n, s)
+        nb = -(-n // self.BUCKET) * self.BUCKET if n > s else n
+        cache_key = (nb, s)
         if cache_key not in self._encode_all_cache:
-            self._encode_all_cache[cache_key] = self._make_encode_all(n, s)
+            self._encode_all_cache[cache_key] = self._make_encode_all(nb, s)
+        pts_b = pts
+        if nb != n:
+            pts_b = np.concatenate(
+                [pts, np.zeros((nb - n, 3), pts.dtype)]
+            )  # pad rows are never indexed (ids are taken modulo n)
         return np.asarray(
-            self._encode_all_cache[cache_key](variables, jnp.asarray(pts), key)
-        )
+            self._encode_all_cache[cache_key](
+                variables, jnp.asarray(pts_b), jnp.int32(n), key
+            )
+        )[:n]
 
 
 class FieldEvaluator:
@@ -532,10 +572,43 @@ class FieldEvaluator:
 
         def drain(limit):
             while len(pending) > limit:
-                s, take, res = pending.pop(0)
-                out[s : s + take] = np.asarray(res)[:take]
+                s, take, res, grouped = pending.pop(0)
+                r = np.asarray(res)
+                out[s : s + take] = (
+                    r.reshape(-1, 3)[:take] if grouped else r[:take]
+                )
 
+        # grouped dispatch over full-size chunks (binary decomposition,
+        # same rationale as __call__)
+        chunk = self.chunk
+        full_chunks = m // chunk
         start = 0
+        for g in (4, 2):
+            while full_chunks - start // chunk >= g:
+                multi = _make_refine_multi(
+                    self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
+                    self._spec_k, self.shared_cloud, self.knn_tile,
+                    self.transform, iters, g,
+                )
+                sl = slice(start, start + g * chunk)
+
+                def gseg(a, last=3):
+                    x = a[sl]
+                    return jnp.asarray(
+                        np.ascontiguousarray(x).reshape(
+                            (g, chunk) + x.shape[1:]
+                        )
+                    )
+
+                res = multi(
+                    self.variables, self.pts, self.latents, raw, rawv,
+                    gseg(arrs[0]), gseg(arrs[1]), gseg(arrs[2]),
+                    gseg(preds[0]), gseg(preds[1]),
+                )
+                pending.append((start, g * chunk, res, True))
+                start += g * chunk
+                drain(self._max_inflight)
+
         while start < m:
             remaining = m - start
             c = next((b for b in sorted(buckets) if b >= remaining), buckets[0])
@@ -554,7 +627,7 @@ class FieldEvaluator:
                 seg(arrs[0], 0.0), seg(arrs[1], 0.0), seg(arrs[2], 0.0),
                 seg(preds[0], 1.0), seg(preds[1], 1.0),
             )
-            pending.append((start, take, res))
+            pending.append((start, take, res, False))
             start += take
             drain(self._max_inflight)
         drain(0)

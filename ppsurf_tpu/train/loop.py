@@ -173,8 +173,12 @@ def make_eval_step(net, spec: ModelSpec, mesh, knn_tile: int = 512):
         key = jax.random.fold_in(key, jax.lax.axis_index("data"))
 
         # per-sample evaluation: eval-mode (running-stats) forward passes
-        # with batch >= 2 hit an XLA TransformWindow compiler crash on v5e;
-        # B=1 compiles and per-shape metrics aggregate identically
+        # with batch >= 2 hit an XLA TransformWindow compiler crash on v5e
+        # (re-probed 2026-08: `Check failed: chunk_counts[new_window_dim]
+        # == 1 ... TransformWindow: Loop will not make progress ...
+        # bf16[4,40,1024]` SIGABRT in the reduce-window over the encoder
+        # bottleneck); B=1 compiles and per-shape metrics aggregate
+        # identically
         def one(item):
             sample = jax.tree_util.tree_map(lambda x: x[None], item)
             return _loss_and_aux(
