@@ -76,9 +76,10 @@ def get_vertex_distances(
         while vertices.shape[0] < min_vertex_count:
             vertices, faces = _subdivide(vertices, faces)
 
-    _, distances, _ = get_closest_point_on_mesh(
-        gt, vertices, batch_size=int(distance_batch_size)
-    )
+    distances = np.concatenate([
+        get_closest_point_on_mesh(gt, vertices[i : i + distance_batch_size])[1]
+        for i in range(0, vertices.shape[0], distance_batch_size)
+    ])
 
     make_dir_for_file(output_npz_file)
     np.savez(
@@ -87,7 +88,7 @@ def get_vertex_distances(
     )
     colors = _colormap(np.clip(distances / dist_cut_off, 0.0, 1.0))
     save_ply(
-        output_npz_file[:-4] + "_dist_col.ply",
+        output_npz_file[:-4] + "_col.ply",  # {method}_dist.npz -> _dist_col.ply
         vertices.astype(np.float32), faces.astype(np.int64),
         vertex_colors=colors,
     )
