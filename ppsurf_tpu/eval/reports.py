@@ -55,13 +55,24 @@ def export_table(
     os.makedirs(os.path.dirname(os.path.abspath(csv_file)), exist_ok=True)
     out.to_csv(csv_file)
 
-    try:  # optional pretty xlsx (reference's native format)
-        import openpyxl  # noqa: F401
+    if output_file.endswith(".xlsx"):
+        # reference's native format with per-column color scales
+        # (`evaluation.py:252-353`), via the first-party writer
+        from ppsurf_tpu.eval.xlsx import write_xlsx
 
-        if output_file.endswith(".xlsx"):
-            out.to_excel(output_file)
-    except ImportError:
-        pass
+        numeric_rows = [
+            [v if isinstance(v, (int, float, np.number)) else np.nan
+             for v in row]
+            for row in out.to_numpy().tolist()
+        ]
+        write_xlsx(
+            output_file,
+            header=[str(c) for c in out.columns],
+            index=[str(i) for i in out.index],
+            rows=numeric_rows,
+            low_metrics_better=low_metrics_better,
+            color_rows=len(df),  # exclude the stat footer, like the ref
+        )
     return csv_file
 
 
@@ -75,7 +86,14 @@ def read_metrics_table(path: str) -> pd.DataFrame:
         else:
             raise FileNotFoundError(path)
     if path.endswith(".xlsx"):
-        df = pd.read_excel(path, header=0, index_col=0)
+        try:
+            df = pd.read_excel(path, header=0, index_col=0)
+        except ImportError:  # no openpyxl: first-party reader
+            from ppsurf_tpu.eval.xlsx import read_xlsx
+
+            header, index, rows = read_xlsx(path)
+            df = pd.DataFrame(rows, index=index, columns=header)
+            df.index.name = None
     else:
         df = pd.read_csv(path, header=0, index_col=0)
     for stat in ("AVG", "AVERAGE", "MEAN", "MEDIAN", "STDEV.P", "STDEV"):

@@ -1,16 +1,26 @@
 """Worker-pool helpers (parity: reference `source/base/mp.py`).
 
-The reference spawns a process pool per metric batch
+The reference spawns a spawn-context process pool per metric batch
 (`mp.py:23-52`) and computes multi-GPU DDP arguments (`mp.py:74-94`).
-Here heavy metric math runs on the accelerator, so the pool degrades to a
-thread pool for IO-bound work; the multi-device helper reports the mesh
-configuration instead of DDP flags.
+CPU-bound batch work (mesh metrics, renders) runs in a real process pool
+like the reference; IO-bound or unpicklable work falls back to threads,
+and accelerator work stays serial in the main thread's device context.
 """
 from __future__ import annotations
 
+import pickle
 import threading
 import typing
 from concurrent.futures import ThreadPoolExecutor
+
+
+def _picklable(worker_function, parameters) -> bool:
+    try:
+        pickle.dumps(worker_function)
+        pickle.dumps(parameters[0])
+        return True
+    except Exception:
+        return False
 
 
 def start_process_pool(
@@ -20,13 +30,22 @@ def start_process_pool(
 ) -> typing.Optional[list]:
     """Run worker_function(*params) for each parameter tuple.
 
-    IO-bound work parallelizes over threads; accelerator work must stay in
-    the main thread's TPU context, so num_processes <= 1 runs serially.
+    num_processes <= 1 runs serially (required for accelerator work —
+    the TPU context lives in the main thread). CPU-bound picklable work
+    gets the reference's spawn-context process pool
+    (`mp.py:23-52`, maxtasksperchild=1); closures and other unpicklable
+    workers use a thread pool instead.
     """
     if len(parameters) == 0:
         return []
     if num_processes <= 1:
         return [worker_function(*p) for p in parameters]
+    if _picklable(worker_function, parameters):
+        import multiprocessing
+
+        ctx = multiprocessing.get_context("spawn")
+        with ctx.Pool(processes=num_processes, maxtasksperchild=1) as pool:
+            return pool.starmap(worker_function, parameters)
     with ThreadPoolExecutor(max_workers=num_processes) as pool:
         futures = [pool.submit(worker_function, *p) for p in parameters]
         return [f.result() for f in futures]

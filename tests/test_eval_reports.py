@@ -134,3 +134,36 @@ class TestUtils:
         time.sleep(0.01)
         src.write_text("xx")
         assert call_necessary(str(src), str(dst))  # stale output
+
+
+def test_first_party_xlsx_roundtrip(tmp_path):
+    """export_table writes a real .xlsx (first-party OOXML writer with
+    color scales, reference `evaluation.py:252-353`) that the
+    openpyxl-free reader recovers exactly."""
+    import zipfile
+
+    import pandas as pd
+
+    from ppsurf_tpu.eval.reports import export_table, read_metrics_table
+    from ppsurf_tpu.eval.xlsx import read_xlsx
+
+    df = pd.DataFrame(
+        {"chamfer_distance": [0.01, 0.02, 0.005], "iou": [0.9, 0.8, 0.95]},
+        index=["shape_a", "shape_b", "shape c & d"],
+    )
+    out = str(tmp_path / "metrics.xlsx")
+    export_table(df, out, low_metrics_better=[True, False])
+    assert zipfile.is_zipfile(out)
+    with zipfile.ZipFile(out) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "colorScale" in sheet and "shape c &amp; d" in sheet
+
+    header, index, rows = read_xlsx(out)
+    assert header == ["chamfer_distance", "iou"]
+    assert index[:3] == ["shape_a", "shape_b", "shape c & d"]
+    assert index[3:] == ["AVERAGE", "MEDIAN", "STDEV"]
+    np.testing.assert_allclose(np.array(rows[:3], float), df.to_numpy())
+
+    got = read_metrics_table(out)  # drops stat rows
+    np.testing.assert_allclose(got.to_numpy(), df.to_numpy())
+    assert list(got.columns) == list(df.columns)
