@@ -565,3 +565,51 @@ def test_ppsurf_network_parity(ref):
         {k2: jnp.asarray(v) for k2, v in data.items()}, False,
     )
     assert_close(got, want, 1e-3, "PPSurfNetwork full forward")
+
+
+def test_torch_checkpoint_converter_roundtrip(ref, tmp_path):
+    """A Lightning-style .ckpt of the reference PPSurfNetwork converts to
+    flax variables whose logits match torch — the published-checkpoint
+    loading path (`ppsurf_tpu/convert/torch_ckpt.py`; reference ships
+    weights via `models/download_ppsurf_50nn.py`)."""
+    _, _, pps_ref = ref
+    from ppsurf_tpu.convert import convert_state_dict
+    from ppsurf_tpu.models.ppsurf import PPSurfNetwork
+
+    rng = np.random.RandomState(21)
+    latent, q, k, n_local = 32, 24, 8, 10
+    t = randomize(
+        pps_ref.PPSurfNetwork(3, latent, 2, k, n_local, latent)
+    ).eval()
+
+    # Lightning checkpoints carry the model's state_dict under 'network.*'
+    ckpt = {
+        "state_dict": {f"network.{kk}": v for kk, v in t.state_dict().items()},
+        "global_step": 1234,
+    }
+    ckpt_file = str(tmp_path / "last.ckpt")
+    torch.save(ckpt, ckpt_file)
+
+    loaded = torch.load(ckpt_file, map_location="cpu", weights_only=False)
+    params, stats = convert_state_dict(loaded["state_dict"])
+
+    data = _graph_numpy(rng)
+    data["pts_query"] = rng.rand(B, q, 3).astype(np.float32) - 0.5
+    data["proj_ids"] = rng.randint(0, N0, (B, q, k)).astype(np.int32)
+    data["pts_local_ps"] = rng.rand(B, q, n_local, 3).astype(np.float32) - 0.5
+
+    tdata = _to_torch_graph({k2: v for k2, v in data.items()
+                             if k2 not in ("pts_query", "proj_ids", "pts_local_ps")})
+    tdata["pts_query"] = torch.from_numpy(data["pts_query"]).transpose(1, 2)
+    tdata["proj_ids"] = torch.from_numpy(data["proj_ids"]).long()
+    tdata["pts_local_ps"] = torch.from_numpy(data["pts_local_ps"])
+    with torch.no_grad():
+        want = t(tdata).transpose(1, 2).numpy()
+
+    net = PPSurfNetwork(in_channels=3, latent_size=latent, out_channels=2,
+                        k=k, num_pts_local=n_local, pointnet_latent_size=latent)
+    got = net.apply(
+        {"params": params, "batch_stats": stats},
+        {k2: jnp.asarray(v) for k2, v in data.items()}, False,
+    )
+    assert_close(got, want, 1e-3, "converted-checkpoint PPSurfNetwork")
