@@ -35,14 +35,26 @@ class InterpAttentionKHeadsNet(nn.Module):
         pts_query: Array,  # (B, Q, 3)
         proj_ids: Array,  # (B, Q, k)
         last_layer: bool = True,
+        latents_projected: bool = False,
     ) -> Array:
+        """latents_projected=True: `latents` already hold
+        fc1_kernel[:L] @ latent + fc1_bias per point (computed once per
+        shape by FieldEvaluator), so fc1 here only contributes the tiny
+        relative-position term — the (Q*k, L, L) matmul disappears from
+        every reconstruction chunk. Identical math, reassociated."""
         dt = self.dtype
         x = gather_neighbors(latents, proj_ids)  # (B, Q, k, L)
         neigh = gather_neighbors(pts, proj_ids)  # (B, Q, k, 3)
         rel = (pts_query[:, :, None, :] - neigh).astype(dt)
 
-        x = jnp.concatenate([x.astype(dt), rel], axis=-1)
-        x = nn.relu(nn.Dense(self.latent_size, name="fc1", dtype=dt)(x))
+        if latents_projected:
+            rel_term = nn.Dense(
+                self.latent_size, name="fc1", use_bias=False, dtype=dt
+            )(rel)
+            x = nn.relu(x.astype(dt) + rel_term)
+        else:
+            x = jnp.concatenate([x.astype(dt), rel], axis=-1)
+            x = nn.relu(nn.Dense(self.latent_size, name="fc1", dtype=dt)(x))
         x = nn.relu(nn.Dense(self.latent_size, name="fc2", dtype=dt)(x))
         x = nn.relu(nn.Dense(self.latent_size, name="fc3", dtype=dt)(x))
 

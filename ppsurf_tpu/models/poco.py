@@ -59,4 +59,5 @@ class PocoNetwork(nn.Module):
         return self.projection(
             data["latents"], data["pts"], data["pts_query"], data["proj_ids"],
             last_layer=True,
+            latents_projected=bool(data.get("latents_projected", False)),
         )

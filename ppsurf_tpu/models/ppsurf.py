@@ -84,6 +84,7 @@ class PPSurfNetwork(nn.Module):
         feat_proj = self.projection(
             data["latents"], data["pts"], data["pts_query"], data["proj_ids"],
             last_layer=True,
+            latents_projected=bool(data.get("latents_projected", False)),
         )  # (B, Q, L)
 
         pts_local = data["pts_local_ps"]  # (B, Q, P, 3)

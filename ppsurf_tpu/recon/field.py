@@ -47,13 +47,14 @@ KNN_BAND = int(_os.environ.get("PPSURF_KNN_BAND", "16"))
 
 @functools.lru_cache(maxsize=32)
 def _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
-                     transform):
+                     transform, projected=False):
     """Field-evaluation body for one padded chunk (traceable, not jitted).
 
     transform: optional jittable (values (C,), queries (C, 3)) -> (C,)
     post-processing of the raw field (e.g. bench.py's analytic-SDF blend);
     it runs on device so the grower AND the device-side refinement scan see
-    the same field.
+    the same field. projected: `latents` are pre-multiplied by the
+    decoder's fc1 latent rows (see InterpAttentionKHeadsNet).
     """
 
     def chunk_body(variables, pts_all, latents, queries, pts_raw, raw_valid):
@@ -71,6 +72,7 @@ def _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
             "pts_query": queries,
             "latents": latents,
             "proj_ids": proj_ids,
+            "latents_projected": projected,
         }
         if is_ppsurf and shared:
             from ppsurf_tpu.ops.patches import patch_space
@@ -99,7 +101,7 @@ def _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
 
 @functools.lru_cache(maxsize=32)
 def _make_eval_chunk(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
-                     transform):
+                     transform, projected=False):
     """Jitted single-chunk program, cached by static config.
 
     flax modules hash by structure, so evaluators for the same network
@@ -107,13 +109,13 @@ def _make_eval_chunk(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
     """
     return jax.jit(
         _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
-                         knn_tile, transform)
+                         knn_tile, transform, projected)
     )
 
 
 @functools.lru_cache(maxsize=32)
 def _make_eval_multi(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
-                     transform, num_chunks):
+                     transform, num_chunks, projected=False):
     """Jitted evaluation of `num_chunks` chunks in ONE dispatch (lax.map).
 
     The remote-execution layer pays a large and *cumulatively growing* cost
@@ -125,7 +127,7 @@ def _make_eval_multi(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
     variants ever compile.
     """
     body = _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
-                            knn_tile, transform)
+                            knn_tile, transform, projected)
 
     def eval_multi(variables, pts_all, latents, queries, pts_raw, raw_valid):
         """queries: (num_chunks, C, 3) -> (num_chunks, C)."""
@@ -140,7 +142,7 @@ def _make_eval_multi(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
 
 @functools.lru_cache(maxsize=32)
 def _make_eval_sharded(net, is_ppsurf, num_pts_local, spec_k, shared,
-                       knn_tile, transform, mesh):
+                       knn_tile, transform, mesh, projected=False):
     """Jitted evaluation of one query chunk PER DEVICE via shard_map.
 
     The reference's reconstruction is restricted to a single GPU
@@ -154,7 +156,7 @@ def _make_eval_sharded(net, is_ppsurf, num_pts_local, spec_k, shared,
     from jax import shard_map
 
     body = _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
-                            knn_tile, transform)
+                            knn_tile, transform, projected)
 
     def per_device(variables, pts_all, latents, queries, pts_raw, raw_valid):
         # queries block: (1, C, 3) on each device
@@ -179,7 +181,7 @@ def _make_eval_sharded(net, is_ppsurf, num_pts_local, spec_k, shared,
 
 @functools.lru_cache(maxsize=32)
 def _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
-                       knn_tile, transform, iters):
+                       knn_tile, transform, iters, projected=False):
     """Jitted bisection refinement of ONE padded vertex chunk, all `iters`
     rounds on device.
 
@@ -189,7 +191,7 @@ def _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
     asynchronously and the program is shared across vertex counts.
     """
     body = _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
-                            knn_tile, transform)
+                            knn_tile, transform, projected)
 
     def refine_one(variables, pts_all, latents, pts_raw, raw_valid,
                    v, v1, v2, p1, p2):
@@ -217,12 +219,12 @@ def _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
 
 @functools.lru_cache(maxsize=32)
 def _make_refine_multi(net, is_ppsurf, num_pts_local, spec_k, shared,
-                       knn_tile, transform, iters, num_chunks):
+                       knn_tile, transform, iters, num_chunks, projected=False):
     """Refine `num_chunks` vertex chunks in ONE dispatch (lax.map over the
     per-chunk scanned refinement) — same dispatch-amortization rationale
     as `_make_eval_multi`."""
     one = _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
-                             knn_tile, transform, iters)
+                             knn_tile, transform, iters, projected)
 
     def refine_multi(variables, pts_all, latents, pts_raw, raw_valid,
                      v, v1, v2, p1, p2):
@@ -341,6 +343,7 @@ class FieldEvaluator:
         return _make_eval_multi(
             self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
             self._spec_k, self.shared_cloud, self.knn_tile, self.transform, g,
+            self._projected,
         )
 
     def __init__(
@@ -354,6 +357,7 @@ class FieldEvaluator:
         knn_tile: int = 512,
         transform: typing.Optional[typing.Callable] = None,
         mesh=None,  # jax.sharding.Mesh with a 'data' axis: one chunk/device
+        project_latents: bool = True,  # fold decoder fc1 into the latents
     ):
         self.net = net
         self.spec = spec
@@ -378,11 +382,32 @@ class FieldEvaluator:
         order = morton_order(pts, *self._bbox)
         pts_sorted = np.ascontiguousarray(pts[order])
         self.pts = jnp.asarray(pts_sorted)[None]  # (1, N, 3)
+        lat_sorted = np.ascontiguousarray(latents[order]).astype(np.float32)
+        # pre-apply the decoder fc1's latent rows + bias once per shape
+        # (reassociation of `concat(latent, rel) @ W + b`): the per-chunk
+        # (Q*k, L) x (L, L) matmul disappears from every reconstruction
+        # chunk; fc1 keeps only the tiny relative-position term
+        # (InterpAttentionKHeadsNet latents_projected=True)
+        self._projected = False
+        proj_params = variables.get("params", {}).get("projection", {})
+        fc1 = proj_params.get("fc1", {})
+        if project_latents and "kernel" in fc1 and "bias" in fc1:
+            k1 = np.asarray(fc1["kernel"], np.float32)
+            b1 = np.asarray(fc1["bias"], np.float32)
+            latent_dim = lat_sorted.shape[-1]
+            if k1.shape[0] == latent_dim + 3:
+                lat_sorted = lat_sorted @ k1[:latent_dim] + b1
+                variables = dict(variables)
+                params2 = dict(variables["params"])
+                proj2 = dict(params2["projection"])
+                proj2["fc1"] = {"kernel": jnp.asarray(k1[latent_dim:])}
+                params2["projection"] = proj2
+                variables["params"] = params2
+                self.variables = variables
+                self._projected = True
         # latents in the network compute dtype (bf16 on TPU): the decoder
         # casts them anyway, and the (C, k, L) gather is HBM-bound
-        self.latents = jnp.asarray(np.ascontiguousarray(latents[order]))[
-            None
-        ].astype(spec.dtype)
+        self.latents = jnp.asarray(lat_sorted)[None].astype(spec.dtype)
         if spec.is_ppsurf:
             if pts_raw is None or pts_raw is pts:
                 pts_raw = pts_sorted
@@ -398,7 +423,7 @@ class FieldEvaluator:
         # once per shape) must not recompile the chunk program
         self._eval_chunk = _make_eval_chunk(
             self.net, spec.is_ppsurf, spec.num_pts_local, spec_k,
-            self.shared_cloud, knn_tile, transform,
+            self.shared_cloud, knn_tile, transform, self._projected,
         )
 
     def _chunk_sizes(self) -> typing.List[int]:
@@ -470,7 +495,7 @@ class FieldEvaluator:
             sharded = _make_eval_sharded(
                 self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
                 self._spec_k, self.shared_cloud, self.knn_tile,
-                self.transform, self.mesh,
+                self.transform, self.mesh, self._projected,
             )
             while full_chunks - start // chunk >= d:
                 q = np.ascontiguousarray(
@@ -559,7 +584,7 @@ class FieldEvaluator:
         refine = _make_refine_chunk(
             self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
             self._spec_k, self.shared_cloud, self.knn_tile, self.transform,
-            iters,
+            iters, self._projected,
         )
         raw = self.pts_raw if self.pts_raw is not None else self.pts
         rawv = (
@@ -588,7 +613,7 @@ class FieldEvaluator:
                 multi = _make_refine_multi(
                     self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
                     self._spec_k, self.shared_cloud, self.knn_tile,
-                    self.transform, iters, g,
+                    self.transform, iters, g, self._projected,
                 )
                 sl = slice(start, start + g * chunk)
 

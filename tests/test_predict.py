@@ -180,3 +180,25 @@ def test_single_file_rec_output_naming(trained_tiny, tmp_path, monkeypatch):
     if out_file is not None:  # undertrained nets may not cross zero
         assert out_file == expected
         assert os.path.isfile(expected)
+
+
+def test_projected_latents_match_plain_decoder(trained_tiny):
+    """Folding the decoder fc1 latent rows into per-shape projected
+    latents is a pure reassociation: field values match the plain path."""
+    from ppsurf_tpu.recon.field import FieldEvaluator, LatentEncoder
+
+    spec, variables, dm = trained_tiny
+    rng = np.random.RandomState(9)
+    pts = rng.rand(900, 3).astype(np.float32) - 0.5
+    net = spec.make_network()
+    encoder = LatentEncoder(net, spec, knn_tile=64)
+    latents = encoder(variables, pts, jax.random.key(4))
+    q = rng.rand(3000, 3).astype(np.float32) - 0.5
+
+    ev_fast = FieldEvaluator(net, spec, variables, pts, latents,
+                             pts_raw=pts, knn_tile=64)
+    ev_plain = FieldEvaluator(net, spec, variables, pts, latents,
+                              pts_raw=pts, knn_tile=64,
+                              project_latents=False)
+    assert ev_fast._projected and not ev_plain._projected
+    np.testing.assert_allclose(ev_fast(q), ev_plain(q), rtol=0, atol=2e-5)
