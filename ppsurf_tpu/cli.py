@@ -166,7 +166,10 @@ def build_components(cfg: dict):
         seed=cfg.get("seed_everything", 42),
         log_every_n_steps=trainer.get("log_every_n_steps", 1),
         default_root_dir=trainer.get("default_root_dir", f"models/{spec.name}"),
-        num_devices=None,
+        # `trainer.devices` is a first-class knob in the reference
+        # (`configs/device_server.yaml:2`, `base/mp.py:74-94`); None/'auto'
+        # means all local devices
+        num_devices=_none_if_auto(trainer.get("devices")),
         debug=bool(cfg.get("debug", False) or model_args.get("debug", False)),
         profiler=trainer.get("profiler"),
     )
@@ -189,6 +192,12 @@ def _none_if_neg(v):
     if v is None or (isinstance(v, int) and v <= 0):
         return None
     return v
+
+
+def _none_if_auto(v):
+    if v in (None, "auto", -1):
+        return None
+    return int(v)
 
 
 def load_checkpoint_variables(ckpt_path: str) -> dict:
@@ -234,6 +243,15 @@ def rewrite_rec_args(positional, overrides):
 
 def main(argv=None, default_configs=()):
     argv = list(sys.argv[1:] if argv is None else argv)
+
+    # multi-host (DCN) entry, env-gated: PPSURF_DIST=1 or
+    # JAX_COORDINATOR_ADDRESS=... (see parallel/mesh.py). Must run FIRST:
+    # jax.distributed.initialize() raises once the backend is up, and
+    # build_components() below queries jax.default_backend()
+    from ppsurf_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
+
     subcommand, configs, overrides, positional, flags = parse_cli(argv)
 
     if subcommand == "rec":
@@ -248,13 +266,6 @@ def main(argv=None, default_configs=()):
         return 0
 
     spec, train_cfg, datamodule = build_components(cfg)
-
-    # multi-host (DCN) entry, env-gated: PPSURF_DIST=1 or
-    # JAX_COORDINATOR_ADDRESS=... (see parallel/mesh.py); must run before
-    # the first backend touch so every process joins the same world
-    from ppsurf_tpu.parallel.mesh import maybe_init_distributed
-
-    maybe_init_distributed()
 
     if train_cfg.debug:
         import jax

@@ -89,6 +89,15 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
     def put(x):
         x = np.asarray(x)
+        n_dev = mesh.devices.size
+        if x.shape[0] % n_dev != 0:
+            # make_array_from_process_local_data needs shards consistent
+            # with even per-device sharding; fail with a clear message
+            # instead of an opaque runtime sharding error
+            raise ValueError(
+                f"global batch {x.shape[0]} not divisible by the mesh's "
+                f"{n_dev} devices; adjust data.batch_size"
+            )
         start, stop = process_batch_slice(x.shape[0])
         return jax.make_array_from_process_local_data(
             sharding, np.ascontiguousarray(x[start:stop])

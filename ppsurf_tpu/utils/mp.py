@@ -15,9 +15,12 @@ from concurrent.futures import ThreadPoolExecutor
 
 
 def _picklable(worker_function, parameters) -> bool:
+    # probe every tuple: one unpicklable parameter mid-batch would crash
+    # the spawn pool's starmap instead of falling back to threads
     try:
         pickle.dumps(worker_function)
-        pickle.dumps(parameters[0])
+        for p in parameters:
+            pickle.dumps(p)
         return True
     except Exception:
         return False
