@@ -33,7 +33,9 @@ def comparison_main(
     comp_dir: str = "results/comp",
     html_name: str = "comp_all.html",
     methods: typing.Optional[typing.Sequence[str]] = None,
-    render: bool = False,
+    render: bool = True,  # the reference always renders the gallery
+    # columns (`make_comparison.py:60-88`); outputs are cached by
+    # call_necessary, so re-runs are cheap
 ) -> None:
     in_file = os.path.join(data_dir, dataset, "testset.txt")
     if not os.path.isfile(in_file):

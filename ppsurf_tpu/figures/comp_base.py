@@ -24,13 +24,14 @@ def run_comparison(
     results_dir: str = "results",
     comp_dir: str = "results/comp",
     workers: int = 8,
+    render: bool = True,
 ) -> None:
     for dataset in datasets:
         try:
             comparison_main(
                 data_dir=data_dir, results_dir=results_dir, dataset=dataset,
                 workers=workers, comp_name=name, comp_dir=comp_dir,
-                methods=methods, html_name=f"{name}.html",
+                methods=methods, html_name=f"{name}.html", render=render,
             )
         except Exception as exc:  # keep going like figures/comp_all.py:60-63
             print(f"comparison failed for {dataset}: {exc}")

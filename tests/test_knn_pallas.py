@@ -82,3 +82,53 @@ def test_none_valid_mask():
     )
     got = np.sort(np.linalg.norm(qs[:, None, :] - pts[ids], axis=-1), axis=1)
     np.testing.assert_allclose(got, brute_force(pts, qs, 4), atol=1e-5)
+
+
+@pytest.mark.parametrize("kb", [1, 4, 16])
+@pytest.mark.parametrize("morton", [True, False])
+def test_banded_exact_vs_brute_force(kb, morton):
+    """Banded stage-3 (kb > 0): the production default (KNN_BAND=16 in
+    recon/field.py). Exactness must hold for ANY point order — on
+    Morton-sorted data via the tau<=bound certificate, on shuffled data
+    via the in-kernel full-band fallback (ADVICE r2 medium)."""
+    rng = np.random.RandomState(3)
+    n, q, k, tq = 2048, 384, 32, 128
+    pts = rng.rand(n, 3).astype(np.float32)
+    qs = rng.rand(q, 3).astype(np.float32)
+    if morton:
+        from ppsurf_tpu.ops.morton import morton_order
+
+        pts = pts[morton_order(pts, pts.min(0), pts.max(0))]
+        qs = qs[morton_order(qs, pts.min(0), pts.max(0))]
+    ids, okf = kp.knn_pallas_single(
+        jnp.asarray(pts), jnp.asarray(qs), None, k, tq=tq, kb=kb,
+        return_stats=True,
+    )
+    ids = np.asarray(ids)
+    got = np.sort(np.linalg.norm(qs[:, None, :] - pts[ids], axis=-1), axis=1)
+    np.testing.assert_allclose(got, brute_force(pts, qs, k), atol=1e-5)
+    okf = np.asarray(okf)
+    # row 0: per-query certificate; row 1: tile took the fallback. A tile
+    # with any failing certificate must have taken the fallback.
+    cert = okf[0].reshape(-1, tq)[: (q + tq - 1) // tq]
+    fb = okf[1].reshape(-1, tq)[: (q + tq - 1) // tq]
+    tile_bad = (cert == 0).any(axis=1)
+    assert np.all(fb[tile_bad] == 1), "failed certificate without fallback"
+
+
+def test_banded_forced_fallback():
+    """A shuffled cloud with tiny kb=1 must force the fallback on most
+    tiles and still return exact results."""
+    rng = np.random.RandomState(4)
+    n, q, k = 4096, 256, 16
+    pts = rng.rand(n, 3).astype(np.float32)
+    qs = rng.rand(q, 3).astype(np.float32)
+    ids, okf = kp.knn_pallas_single(
+        jnp.asarray(pts), jnp.asarray(qs), None, k, tq=128, kb=1,
+        return_stats=True,
+    )
+    got = np.sort(
+        np.linalg.norm(qs[:, None, :] - pts[np.asarray(ids)], axis=-1), axis=1
+    )
+    np.testing.assert_allclose(got, brute_force(pts, qs, k), atol=1e-5)
+    assert np.asarray(okf)[1].any(), "expected at least one fallback tile"
