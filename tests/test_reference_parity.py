@@ -613,3 +613,71 @@ def test_torch_checkpoint_converter_roundtrip(ref, tmp_path):
         {k2: jnp.asarray(v) for k2, v in data.items()}, False,
     )
     assert_close(got, want, 1e-3, "converted-checkpoint PPSurfNetwork")
+
+
+def test_converter_on_real_lightning_layout(ref, tmp_path):
+    """Full-fidelity published-checkpoint drill: the ACTUAL reference
+    `PPSurfModel` LightningModule's state_dict (the exact key layout the
+    published ppsurf_50nn ckpt carries — `ppsurf_model.py:10-36`), wrapped
+    in a complete Lightning checkpoint dict (epoch/loops/optimizer_states/
+    hyper_parameters), written with torch.save, converted through the full
+    `convert_torch_checkpoint` orbax path, restored via the CLI loader,
+    and checked for logit parity."""
+    _, _, pps_ref = ref
+    from ppsurf_tpu.cli import load_checkpoint_variables
+    from ppsurf_tpu.convert.torch_ckpt import convert_torch_checkpoint
+    from ppsurf_tpu.models.ppsurf import PPSurfNetwork
+
+    rng = np.random.RandomState(23)
+    latent, q, k, n_local = 32, 24, 8, 10
+    model = pps_ref.PPSurfModel(
+        pointnet_latent_size=latent, output_names=["imp_surf_sign"],
+        in_channels=3, out_channels=2, k=k, lambda_l1=0.0, debug=False,
+        in_file="x.txt", results_dir="r", padding_factor=0.05, name="pps",
+        network_latent_size=latent, gen_subsample_manifold_iter=10,
+        gen_subsample_manifold=10000, gen_resolution_global=257,
+        num_pts_local=n_local, rec_batch_size=50000, gen_refine_iter=10,
+        workers=1,
+    )
+    randomize(model)
+    model.eval()
+    t = model.network
+
+    ckpt = {  # the full Lightning >=2.0 checkpoint structure
+        "epoch": 149,
+        "global_step": 55350,
+        "pytorch-lightning_version": "2.1.0",
+        "state_dict": model.state_dict(),
+        "loops": {"fit_loop": {}},
+        "callbacks": {"ModelCheckpoint": {}},
+        "optimizer_states": [{"state": {}, "param_groups": []}],
+        "lr_schedulers": [{}],
+        "hparams_name": "kwargs",
+        "hyper_parameters": {"name": "pps", "workers": 1},
+    }
+    ckpt_file = str(tmp_path / "last.ckpt")
+    torch.save(ckpt, ckpt_file)
+
+    out = convert_torch_checkpoint(ckpt_file, str(tmp_path / "orbax" / "last"))
+    variables = load_checkpoint_variables(out)
+
+    data = _graph_numpy(rng)
+    data["pts_query"] = rng.rand(B, q, 3).astype(np.float32) - 0.5
+    data["proj_ids"] = rng.randint(0, N0, (B, q, k)).astype(np.int32)
+    data["pts_local_ps"] = rng.rand(B, q, n_local, 3).astype(np.float32) - 0.5
+
+    tdata = _to_torch_graph({k2: v for k2, v in data.items()
+                             if k2 not in ("pts_query", "proj_ids", "pts_local_ps")})
+    tdata["pts_query"] = torch.from_numpy(data["pts_query"]).transpose(1, 2)
+    tdata["proj_ids"] = torch.from_numpy(data["proj_ids"]).long()
+    tdata["pts_local_ps"] = torch.from_numpy(data["pts_local_ps"])
+    with torch.no_grad():
+        want = t(tdata).transpose(1, 2).numpy()
+
+    net = PPSurfNetwork(in_channels=3, latent_size=latent, out_channels=2,
+                        k=k, num_pts_local=n_local, pointnet_latent_size=latent)
+    got = net.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        {k2: jnp.asarray(v) for k2, v in data.items()}, False,
+    )
+    assert_close(got, want, 1e-3, "real-layout converted checkpoint")
