@@ -55,7 +55,12 @@ class PocoNetwork(nn.Module):
         return self.encoder(data, train)
 
     def from_latent(self, data: typing.Dict[str, Array]) -> Array:
-        """Decoder only, for reconstruction-time field evaluation."""
+        """Decoder only, for reconstruction-time field evaluation.
+
+        A precomputed `feat_proj` (fused Pallas decoder tail,
+        ops/decoder_pallas.py) replaces the projection call."""
+        if "feat_proj" in data:
+            return data["feat_proj"]
         return self.projection(
             data["latents"], data["pts"], data["pts_query"], data["proj_ids"],
             last_layer=True,

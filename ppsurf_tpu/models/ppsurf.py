@@ -80,20 +80,30 @@ class PPSurfNetwork(nn.Module):
         Needs: latents (B, N, L), pts (B, N, 3), pts_query (B, Q, 3),
         proj_ids (B, Q, k), pts_local_ps (B, Q, P, 3).
         Returns (B, Q, out_channels) logits.
-        """
-        feat_proj = self.projection(
-            data["latents"], data["pts"], data["pts_query"], data["proj_ids"],
-            last_layer=True,
-            latents_projected=bool(data.get("latents_projected", False)),
-        )  # (B, Q, L)
 
-        pts_local = data["pts_local_ps"]  # (B, Q, P, 3)
-        b, q, p, _ = pts_local.shape
-        flat = pts_local.reshape(b * q, p, 3)
-        feat_pn_flat, _, _, _ = self.point_net(flat, train=train)
-        feat_pn = feat_pn_flat.reshape(b, q, -1)  # (B, Q, L)
+        A precomputed `feat_proj` (e.g. from the fused Pallas decoder tail,
+        ops/decoder_pallas.py) replaces the projection call.
+        """
+        if "feat_proj" in data:
+            feat_proj = data["feat_proj"]
+        else:
+            feat_proj = self.projection(
+                data["latents"], data["pts"], data["pts_query"],
+                data["proj_ids"], last_layer=True,
+                latents_projected=bool(data.get("latents_projected", False)),
+            )  # (B, Q, L)
+
+        if "feat_pn" in data:  # fused Pallas branch (ops/pointnet_pallas.py)
+            feat_pn = data["feat_pn"]
+        else:
+            pts_local = data["pts_local_ps"]  # (B, Q, P, 3)
+            b, q, p, _ = pts_local.shape
+            flat = pts_local.reshape(b * q, p, 3)
+            feat_pn_flat, _, _, _ = self.point_net(flat, train=train)
+            feat_pn = feat_pn_flat.reshape(b, q, -1)  # (B, Q, L)
 
         feat_all = feat_proj + feat_pn  # sum fusion (`ppsurf_model.py:100`)
 
+        b, q, _ = feat_all.shape
         logits_flat = self.mlp(feat_all.reshape(b * q, -1), train=train)
         return logits_flat.reshape(b, q, -1)

@@ -59,6 +59,7 @@ def create_volume_region_growing(
     prefill_radius: int = 0,
     prefill_period: int = 2,
     prefill_start: int = 4,
+    prefill_min_band: int = 4096,
 ) -> typing.Tuple[np.ndarray, float, float]:
     """Evaluate the field on near-surface voxels by region growing.
 
@@ -78,6 +79,14 @@ def create_volume_region_growing(
     the voxels written into `volume` are IDENTICAL either way — the field
     is deterministic, so caching cannot change the result — only the
     batching of device work changes.
+
+    Overshoot discipline (VERDICT r2): the next `prefill_period` rounds
+    can only touch dilate(frontier, dilation_size * prefill_period), so
+    radius beyond that is pure speculative waste — keep
+    prefill_radius <= dilation_size * prefill_period; bands smaller than
+    `prefill_min_band` are skipped (tail rounds are cheap to evaluate
+    directly through the small chunk buckets, and the band would mostly
+    overshoot past the shrinking frontier).
     """
     bmin = float(input_points.min())
     bmax = float(input_points.max())
@@ -173,7 +182,7 @@ def create_volume_region_growing(
                 fresh = band[
                     ~cache_mask[band[:, 0], band[:, 1], band[:, 2]]
                 ]
-                if fresh.shape[0]:
+                if fresh.shape[0] >= prefill_min_band:
                     fv = eval_field(
                         fresh.astype(np.float32) * step + bmin_pad
                     )

@@ -47,14 +47,16 @@ KNN_BAND = int(_os.environ.get("PPSURF_KNN_BAND", "16"))
 
 @functools.lru_cache(maxsize=32)
 def _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
-                     transform, projected=False):
+                     transform, projected=False, fused=False):
     """Field-evaluation body for one padded chunk (traceable, not jitted).
 
     transform: optional jittable (values (C,), queries (C, 3)) -> (C,)
     post-processing of the raw field (e.g. bench.py's analytic-SDF blend);
     it runs on device so the grower AND the device-side refinement scan see
     the same field. projected: `latents` are pre-multiplied by the
-    decoder's fc1 latent rows (see InterpAttentionKHeadsNet).
+    decoder's fc1 latent rows (see InterpAttentionKHeadsNet). fused: run
+    the decoder tail as one Pallas kernel (ops/decoder_pallas.py) instead
+    of XLA-scheduled per-layer matmuls (requires projected).
     """
 
     def chunk_body(variables, pts_all, latents, queries, pts_raw, raw_valid):
@@ -74,6 +76,30 @@ def _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
             "proj_ids": proj_ids,
             "latents_projected": projected,
         }
+        if fused & 1:
+            from ppsurf_tpu.models.fkaconv import gather_neighbors
+            from ppsurf_tpu.ops.decoder_pallas import decoder_tail_pallas
+
+            pp = variables["params"]["projection"]
+            dt = latents.dtype
+            x = gather_neighbors(latents, proj_ids)[0]  # (C, k, L)
+            neigh = gather_neighbors(pts_all, proj_ids)[0]  # (C, k, 3)
+            rel = (queries[0][:, None, :] - neigh).astype(dt)
+            pooled = decoder_tail_pallas(
+                x, rel, pp["fc1"]["kernel"],
+                pp["fc2"]["kernel"], pp["fc2"]["bias"],
+                pp["fc3"]["kernel"], pp["fc3"]["bias"],
+                pp["fc_query"]["kernel"], pp["fc_query"]["bias"],
+                pp["fc_value"]["kernel"], pp["fc_value"]["bias"],
+                # the reference hard-codes 64 attention heads
+                # (`poco_model.py:377`)
+                k=spec_k, heads=64,
+            )
+            feat = jnp.dot(
+                pooled, pp["fc8"]["kernel"].astype(dt),
+                preferred_element_type=jnp.float32,
+            ).astype(dt) + pp["fc8"]["bias"].astype(dt)
+            data["feat_proj"] = feat[None]
         if is_ppsurf and shared:
             from ppsurf_tpu.ops.patches import patch_space
 
@@ -87,6 +113,17 @@ def _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
                 pts_raw, raw_valid, queries,
                 num_pts_local=num_pts_local, tile=knn_tile,
             )
+        if is_ppsurf and (fused & 2):
+            from ppsurf_tpu.ops.pointnet_pallas import pointnet_att_pallas
+
+            pl_ps = data.pop("pts_local_ps")  # (1, C, P, 3)
+            feat_pn = pointnet_att_pallas(
+                pl_ps[0].astype(latents.dtype),
+                variables["params"]["point_net"],
+                variables["batch_stats"]["point_net"],
+                p_real=pl_ps.shape[2],
+            )
+            data["feat_pn"] = feat_pn[None]
         logits = net.apply(variables, data, method=net.from_latent)  # (1, C, 2)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         # p(class 0) - p(class 1): zero-crossing is the surface
@@ -101,7 +138,7 @@ def _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
 
 @functools.lru_cache(maxsize=32)
 def _make_eval_chunk(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
-                     transform, projected=False):
+                     transform, projected=False, fused=False):
     """Jitted single-chunk program, cached by static config.
 
     flax modules hash by structure, so evaluators for the same network
@@ -109,13 +146,13 @@ def _make_eval_chunk(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
     """
     return jax.jit(
         _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
-                         knn_tile, transform, projected)
+                         knn_tile, transform, projected, fused)
     )
 
 
 @functools.lru_cache(maxsize=32)
 def _make_eval_multi(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
-                     transform, num_chunks, projected=False):
+                     transform, num_chunks, projected=False, fused=False):
     """Jitted evaluation of `num_chunks` chunks in ONE dispatch (lax.map).
 
     The remote-execution layer pays a large and *cumulatively growing* cost
@@ -127,7 +164,7 @@ def _make_eval_multi(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
     variants ever compile.
     """
     body = _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
-                            knn_tile, transform, projected)
+                            knn_tile, transform, projected, fused)
 
     def eval_multi(variables, pts_all, latents, queries, pts_raw, raw_valid):
         """queries: (num_chunks, C, 3) -> (num_chunks, C)."""
@@ -142,7 +179,8 @@ def _make_eval_multi(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
 
 @functools.lru_cache(maxsize=32)
 def _make_eval_sharded(net, is_ppsurf, num_pts_local, spec_k, shared,
-                       knn_tile, transform, mesh, projected=False):
+                       knn_tile, transform, mesh, projected=False,
+                       fused=False):
     """Jitted evaluation of one query chunk PER DEVICE via shard_map.
 
     The reference's reconstruction is restricted to a single GPU
@@ -156,7 +194,7 @@ def _make_eval_sharded(net, is_ppsurf, num_pts_local, spec_k, shared,
     from jax import shard_map
 
     body = _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
-                            knn_tile, transform, projected)
+                            knn_tile, transform, projected, fused)
 
     def per_device(variables, pts_all, latents, queries, pts_raw, raw_valid):
         # queries block: (1, C, 3) on each device
@@ -181,7 +219,8 @@ def _make_eval_sharded(net, is_ppsurf, num_pts_local, spec_k, shared,
 
 @functools.lru_cache(maxsize=32)
 def _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
-                       knn_tile, transform, iters, projected=False):
+                       knn_tile, transform, iters, projected=False,
+                       fused=False):
     """Jitted bisection refinement of ONE padded vertex chunk, all `iters`
     rounds on device.
 
@@ -191,7 +230,7 @@ def _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
     asynchronously and the program is shared across vertex counts.
     """
     body = _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
-                            knn_tile, transform, projected)
+                            knn_tile, transform, projected, fused)
 
     def refine_one(variables, pts_all, latents, pts_raw, raw_valid,
                    v, v1, v2, p1, p2):
@@ -219,12 +258,13 @@ def _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
 
 @functools.lru_cache(maxsize=32)
 def _make_refine_multi(net, is_ppsurf, num_pts_local, spec_k, shared,
-                       knn_tile, transform, iters, num_chunks, projected=False):
+                       knn_tile, transform, iters, num_chunks,
+                       projected=False, fused=False):
     """Refine `num_chunks` vertex chunks in ONE dispatch (lax.map over the
     per-chunk scanned refinement) — same dispatch-amortization rationale
     as `_make_eval_multi`."""
     one = _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
-                             knn_tile, transform, iters, projected)
+                             knn_tile, transform, iters, projected, fused)
 
     def refine_multi(variables, pts_all, latents, pts_raw, raw_valid,
                      v, v1, v2, p1, p2):
@@ -313,8 +353,12 @@ class LatentEncoder:
 
         return encode_all
 
-    def __call__(self, variables, pts: np.ndarray, key: Array) -> np.ndarray:
-        """pts: (N, 3) full cloud -> (N, L) averaged latents."""
+    def __call__(self, variables, pts: np.ndarray, key: Array) -> Array:
+        """pts: (N, 3) full cloud -> (N, L) averaged latents.
+
+        Returns a DEVICE array: the latents (tens of MB at 60k points)
+        feed straight into FieldEvaluator, and a host round trip over the
+        remote-device transport costs seconds each way."""
         n = pts.shape[0]
         s = min(self.spec.gen_subsample_manifold, n)
         nb = -(-n // self.BUCKET) * self.BUCKET if n > s else n
@@ -326,24 +370,38 @@ class LatentEncoder:
             pts_b = np.concatenate(
                 [pts, np.zeros((nb - n, 3), pts.dtype)]
             )  # pad rows are never indexed (ids are taken modulo n)
-        return np.asarray(
-            self._encode_all_cache[cache_key](
-                variables, jnp.asarray(pts_b), jnp.int32(n), key
-            )
+        return self._encode_all_cache[cache_key](
+            variables, jnp.asarray(pts_b), jnp.int32(n), key
         )[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("latent_dim", "dt"))
+def _prep_latents(lat, order_d, k1, b1, latent_dim, dt):
+    """Morton-permute, fc1-project (when k1 given) and cast the per-point
+    latents on device (module-level jit: one compile per shape family,
+    not per evaluator instance)."""
+    lat = lat.astype(jnp.float32)[order_d]
+    if k1 is not None:
+        lat = lat @ k1[:latent_dim] + b1
+    # network compute dtype (bf16 on TPU): the decoder casts them anyway,
+    # and the (C, k, L) gather is HBM-bound
+    return lat.astype(dt)[None]
 
 
 class FieldEvaluator:
     """Static-shape chunked evaluation of the occupancy field."""
 
     _max_inflight = 3  # async dispatches in flight (see __call__)
-    _MULTI_GROUPS = (32, 16, 8, 4, 2)  # lax.map group sizes (binary decomp)
+    # lax.map group sizes: each is a separate (expensive, minutes-long
+    # remote) compile in warmup, and with the r3 realistic workload only
+    # the seed-crust round exceeds a few chunks — two sizes suffice
+    _MULTI_GROUPS = (8, 2)
 
     def _eval_multi(self, g: int):
         return _make_eval_multi(
             self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
             self._spec_k, self.shared_cloud, self.knn_tile, self.transform, g,
-            self._projected,
+            self._projected, self._fused,
         )
 
     def __init__(
@@ -382,7 +440,6 @@ class FieldEvaluator:
         order = morton_order(pts, *self._bbox)
         pts_sorted = np.ascontiguousarray(pts[order])
         self.pts = jnp.asarray(pts_sorted)[None]  # (1, N, 3)
-        lat_sorted = np.ascontiguousarray(latents[order]).astype(np.float32)
         # pre-apply the decoder fc1's latent rows + bias once per shape
         # (reassociation of `concat(latent, rel) @ W + b`): the per-chunk
         # (Q*k, L) x (L, L) matmul disappears from every reconstruction
@@ -391,23 +448,31 @@ class FieldEvaluator:
         self._projected = False
         proj_params = variables.get("params", {}).get("projection", {})
         fc1 = proj_params.get("fc1", {})
-        if project_latents and "kernel" in fc1 and "bias" in fc1:
-            k1 = np.asarray(fc1["kernel"], np.float32)
-            b1 = np.asarray(fc1["bias"], np.float32)
-            latent_dim = lat_sorted.shape[-1]
-            if k1.shape[0] == latent_dim + 3:
-                lat_sorted = lat_sorted @ k1[:latent_dim] + b1
-                variables = dict(variables)
-                params2 = dict(variables["params"])
-                proj2 = dict(params2["projection"])
-                proj2["fc1"] = {"kernel": jnp.asarray(k1[latent_dim:])}
-                params2["projection"] = proj2
-                variables["params"] = params2
-                self.variables = variables
-                self._projected = True
-        # latents in the network compute dtype (bf16 on TPU): the decoder
-        # casts them anyway, and the (C, k, L) gather is HBM-bound
-        self.latents = jnp.asarray(lat_sorted)[None].astype(spec.dtype)
+        latent_dim = latents.shape[-1]
+        k1 = b1 = None
+        if (
+            project_latents and "kernel" in fc1 and "bias" in fc1
+            and fc1["kernel"].shape[0] == latent_dim + 3
+        ):
+            k1 = jnp.asarray(fc1["kernel"], jnp.float32)
+            b1 = jnp.asarray(fc1["bias"], jnp.float32)
+            variables = dict(variables)
+            params2 = dict(variables["params"])
+            proj2 = dict(params2["projection"])
+            proj2["fc1"] = {"kernel": k1[latent_dim:]}
+            params2["projection"] = proj2
+            variables["params"] = params2
+            self.variables = variables
+            self._projected = True
+
+        # permute + project + cast ON DEVICE: latents usually arrive as a
+        # device array straight from LatentEncoder (tens of MB — a host
+        # round trip over the remote transport costs seconds each way)
+        self.latents = _prep_latents(
+            latents if isinstance(latents, jax.Array) else jnp.asarray(latents),
+            jnp.asarray(order), k1, b1, latent_dim,
+            jnp.dtype(spec.dtype).name,
+        )
         if spec.is_ppsurf:
             if pts_raw is None or pts_raw is pts:
                 pts_raw = pts_sorted
@@ -417,6 +482,30 @@ class FieldEvaluator:
             self.pts_raw = None
         self.knn_tile = knn_tile
 
+        # fused Pallas kernels (ops/decoder_pallas.py, pointnet_pallas.py):
+        # TPU-only (the CPU path keeps XLA; interpret mode is covered by
+        # tests). Bitmask: 1 = decoder tail (needs the projected-latents
+        # representation + MXU-sized latent dim), 2 = PointNet branch
+        # (needs eval batch_stats). Env kill-switches for benchmarking.
+        self._fused = 0
+        if jax.default_backend() not in ("cpu",):
+            if (
+                self._projected
+                and spec.network_latent_size >= 128
+                and _os.environ.get("PPSURF_FUSED_DECODER", "1") != "0"
+            ):
+                self._fused |= 1
+            if (
+                spec.is_ppsurf
+                and "point_net" in variables.get("batch_stats", {})
+                and _os.environ.get("PPSURF_FUSED_POINTNET", "1") != "0"
+            ):
+                self._fused |= 2
+
+        # padded-query accounting (diagnostics; bench detail line)
+        self.stat_queries = 0
+        self.stat_padded = 0
+
         spec_k = min(spec.k, pts.shape[0])
         self._spec_k = spec_k
         # cached across evaluator instances: re-creating an evaluator (e.g.
@@ -424,16 +513,27 @@ class FieldEvaluator:
         self._eval_chunk = _make_eval_chunk(
             self.net, spec.is_ppsurf, spec.num_pts_local, spec_k,
             self.shared_cloud, knn_tile, transform, self._projected,
+            self._fused,
         )
 
-    def _chunk_sizes(self) -> typing.List[int]:
+    def _chunk_sizes(self, for_refine: bool = False) -> typing.List[int]:
         """Padded chunk-size buckets: region-growing rounds shrink to a few
         thousand queries, and padding everything to rec_batch_size would
-        dominate; each bucket is a separately compiled (cached) program."""
+        dominate; each bucket is a separately compiled (cached) program.
+
+        {1, 1/2, 1/4, 1/8} x rec_batch_size: typical grow rounds (~12k
+        voxels at res 257) and prefill bands (~25-40k) land between the
+        round-2 {50000, 6250} buckets and padded up to 4x; the mid sizes
+        cut padded queries ~25-30% (VERDICT r2 weak #2). Refinement keeps
+        the two-bucket set: its vertex count is dominated by full chunks,
+        and each refine program (a 10-iteration scan over the fused chunk)
+        is among the most expensive compiles."""
         buckets = [self.chunk]
-        small = self.chunk // 8
-        if small >= 1024:
-            buckets.append(small)
+        divs = (8,) if for_refine else (2, 4, 8)
+        for div in divs:
+            b = self.chunk // div
+            if b >= 1024:
+                buckets.append(b)
         return buckets
 
     def warmup(self, refine_iters: typing.Optional[int] = None,
@@ -441,9 +541,10 @@ class FieldEvaluator:
         """Compile every chunk-size bucket (amortized across shapes);
         with refine_iters also the device-refinement programs, with multi
         the grouped lax.map dispatch variants."""
+        refine_buckets = set(self._chunk_sizes(for_refine=True))
         for c in self._chunk_sizes():
             self(np.zeros((c, 3), np.float32))
-            if refine_iters:
+            if refine_iters and c in refine_buckets:
                 z3 = np.zeros((c, 3), np.float32)
                 z1 = np.ones((c,), np.float32)
                 self.refine_bisection(z3, z3, z3, z1, -z1, refine_iters)
@@ -463,6 +564,7 @@ class FieldEvaluator:
         m = queries.shape[0]
         if m == 0:
             return np.zeros((0,), np.float32)
+        self.stat_queries += m
         from ppsurf_tpu.ops.morton import morton_order
 
         qorder = morton_order(queries, *self._bbox)
@@ -495,7 +597,7 @@ class FieldEvaluator:
             sharded = _make_eval_sharded(
                 self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
                 self._spec_k, self.shared_cloud, self.knn_tile,
-                self.transform, self.mesh, self._projected,
+                self.transform, self.mesh, self._projected, self._fused,
             )
             while full_chunks - start // chunk >= d:
                 q = np.ascontiguousarray(
@@ -537,6 +639,7 @@ class FieldEvaluator:
             pad = c - q.shape[0]
             if pad:
                 q = np.concatenate([q, np.zeros((pad, 3), np.float32)])
+                self.stat_padded += pad
             vals = self._eval_chunk(
                 self.variables, self.pts, self.latents,
                 jnp.asarray(q)[None], raw, rawv,
@@ -584,14 +687,14 @@ class FieldEvaluator:
         refine = _make_refine_chunk(
             self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
             self._spec_k, self.shared_cloud, self.knn_tile, self.transform,
-            iters, self._projected,
+            iters, self._projected, self._fused,
         )
         raw = self.pts_raw if self.pts_raw is not None else self.pts
         rawv = (
             self.raw_valid if self.pts_raw is not None
             else jnp.ones((1, 1), bool)
         )
-        buckets = self._chunk_sizes()
+        buckets = self._chunk_sizes(for_refine=True)
         out = np.empty((m, 3), np.float32)
         pending = []
 
@@ -613,7 +716,7 @@ class FieldEvaluator:
                 multi = _make_refine_multi(
                     self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
                     self._spec_k, self.shared_cloud, self.knn_tile,
-                    self.transform, iters, g, self._projected,
+                    self.transform, iters, g, self._projected, self._fused,
                 )
                 sl = slice(start, start + g * chunk)
 

