@@ -142,12 +142,16 @@ def create_volume_region_growing(
         return vals
 
     rounds = 0
+    if progress is not None:
+        progress(f"grow seeds: {pts_ids.shape[0]} voxels")
     while pts_ids.shape[0] > 0:
         # evaluate voxels without a value yet in the +-dilation cube of the
         # frontier: the field is deterministic, so skipping re-evaluation is
         # exact (the reference recomputes, `poco_utils.py:207-232`)
         if rg is not None:
             coords = rg.dilate_unevaluated(pts_ids)
+            if progress is not None and rounds == 0:
+                progress(f"round 1 dilated: {coords.shape[0]}")
         else:
             frontier = np.zeros(shape, dtype=bool)
             frontier[pts_ids[:, 0], pts_ids[:, 1], pts_ids[:, 2]] = True

@@ -565,10 +565,23 @@ class FieldEvaluator:
         if m == 0:
             return np.zeros((0,), np.float32)
         self.stat_queries += m
+        import time as _time
+
+        _dbg = _os.environ.get("PPSURF_EVAL_DEBUG") == "1"
+        _t0 = _time.perf_counter()
+
+        def _mark(label):
+            if _dbg:
+                print(
+                    f"#   eval[{m}] {label}: {_time.perf_counter() - _t0:6.2f}s",
+                    flush=True,
+                )
+
         from ppsurf_tpu.ops.morton import morton_order
 
         qorder = morton_order(queries, *self._bbox)
         queries = np.ascontiguousarray(queries[qorder])
+        _mark("sorted")
         buckets = self._chunk_sizes()
         chunk = self.chunk
         raw = self.pts_raw if self.pts_raw is not None else self.pts
@@ -587,6 +600,7 @@ class FieldEvaluator:
                 s, take, vals, grouped = pending.pop(0)
                 flat = np.asarray(vals).reshape(-1) if grouped else np.asarray(vals)
                 out[s : s + take] = flat[:take]
+                _mark(f"drained@{s}+{take}")
 
         full_chunks = m // chunk
         start = 0
@@ -624,6 +638,7 @@ class FieldEvaluator:
                     self.variables, self.pts, self.latents, jnp.asarray(q),
                     raw, rawv,
                 )
+                _mark(f"submitted g{g}@{start}")
                 pending.append((start, g * chunk, vals, True))
                 start += g * chunk
                 drain(self._max_inflight)
@@ -644,6 +659,7 @@ class FieldEvaluator:
                 self.variables, self.pts, self.latents,
                 jnp.asarray(q)[None], raw, rawv,
             )
+            _mark(f"submitted c{c}@{start}")
             take = c - pad
             pending.append((start, take, vals, False))
             start += take
