@@ -37,6 +37,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
 def main() -> int:
+    from ppsurf_tpu.utils.alloc import tune_host_allocator
+
+    tune_host_allocator()
+
     import jax
     import jax.numpy as jnp
 
@@ -150,6 +154,11 @@ def main() -> int:
         lat_t = time.time() - t0
         evaluator = make_evaluator(latents)
         t1 = time.time()
+        if os.environ.get("PPSURF_EVAL_DEBUG") == "1":
+            print(
+                f"# r{rep} latents {lat_t:.2f}s + evaluator "
+                f"{t1 - t0 - lat_t:.2f}s", file=sys.stderr, flush=True,
+            )
         mesh = reconstruct_mesh(
             timed_field(evaluator),
             input_points=pts,
@@ -160,7 +169,14 @@ def main() -> int:
                 file=sys.stderr, flush=True,
             ),
             refine_device=evaluator.refine_bisection,
-            prefill_radius=int(os.environ.get("BENCH_PREFILL", "4")),
+            # prefill trades extra speculative queries for fewer dispatches;
+            # with TRAINED weights growth terminates in ~7 rounds and the
+            # seed-crust round already batches millions of queries into a
+            # handful of grouped dispatches, so speculation can only lose
+            # (r3 A/B: the one band that fired evaluated 175k voxels of
+            # which the remaining rounds consumed 2.4k). Off by default;
+            # the machinery stays for degenerate many-round fields.
+            prefill_radius=int(os.environ.get("BENCH_PREFILL", "0")),
         )
         rep_elapsed = time.time() - t0
         if rep_elapsed < elapsed:

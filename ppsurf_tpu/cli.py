@@ -242,6 +242,9 @@ def rewrite_rec_args(positional, overrides):
 
 
 def main(argv=None, default_configs=()):
+    from ppsurf_tpu.utils.alloc import tune_host_allocator
+
+    tune_host_allocator()
     argv = list(sys.argv[1:] if argv is None else argv)
 
     # multi-host (DCN) entry, env-gated: PPSURF_DIST=1 or

@@ -88,6 +88,16 @@ def create_volume_region_growing(
     directly through the small chunk buckets, and the band would mostly
     overshoot past the shrinking frontier).
     """
+    import os as _os
+    import time as _time
+
+    _tp = _time.perf_counter()
+    _dbg = (
+        (lambda msg: progress(f"  [t] {msg}"))
+        if progress is not None and _os.environ.get("PPSURF_EVAL_DEBUG") == "1"
+        else None
+    )
+
     bmin = float(input_points.min())
     bmax = float(input_points.max())
     step = (bmax - bmin) / (resolution - 1)
@@ -95,6 +105,9 @@ def create_volume_region_growing(
 
     shape = (resolution + 2 * padding,) * 3
     volume = np.full(shape, np.nan, dtype=np.float64)
+    if _dbg:
+        _dbg(f"volume alloc: {_time.perf_counter() - _tp:.2f}s")
+        _tp = _time.perf_counter()
 
     pts_ids = ((input_points - bmin) / step).astype(np.int32) + padding
     pts_ids = np.unique(np.clip(pts_ids, 0, shape[0] - 1), axis=0)
@@ -110,6 +123,9 @@ def create_volume_region_growing(
         except RuntimeError:
             rg = None
     unseen = None if rg is not None else np.ones(shape, dtype=bool)
+    if _dbg:
+        _dbg(f"rg state: {_time.perf_counter() - _tp:.2f}s")
+        _tp = _time.perf_counter()
 
     # speculative-prefill cache (see docstring)
     prefill = prefill_radius > dilation_size
@@ -135,10 +151,19 @@ def create_volume_region_growing(
         ]
         miss = coords[~hit]
         if miss.shape[0]:
+            import time as _t2
+
+            _ta = _t2.perf_counter()
             mv = eval_field(miss.astype(np.float32) * step + bmin_pad)
+            _tb = _t2.perf_counter()
             vals[~hit] = mv
             cache_vals[miss[:, 0], miss[:, 1], miss[:, 2]] = mv
             cache_mask[miss[:, 0], miss[:, 1], miss[:, 2]] = True
+            if _dbg is not None:
+                _dbg(
+                    f"field: {_tb - _ta:.2f}s cache-scatter: "
+                    f"{_t2.perf_counter() - _tb:.2f}s"
+                )
         return vals
 
     rounds = 0
@@ -148,10 +173,11 @@ def create_volume_region_growing(
         # evaluate voxels without a value yet in the +-dilation cube of the
         # frontier: the field is deterministic, so skipping re-evaluation is
         # exact (the reference recomputes, `poco_utils.py:207-232`)
+        _td = _time.perf_counter()
         if rg is not None:
             coords = rg.dilate_unevaluated(pts_ids)
-            if progress is not None and rounds == 0:
-                progress(f"round 1 dilated: {coords.shape[0]}")
+            if _dbg:
+                _dbg(f"dilate: {_time.perf_counter() - _td:.2f}s")
         else:
             frontier = np.zeros(shape, dtype=bool)
             frontier[pts_ids[:, 0], pts_ids[:, 1], pts_ids[:, 2]] = True
@@ -159,26 +185,39 @@ def create_volume_region_growing(
             region &= ~np.isfinite(volume)
             coords = np.argwhere(region).astype(np.int32)
         if coords.shape[0]:
-            volume[coords[:, 0], coords[:, 1], coords[:, 2]] = eval_coords(
-                coords
-            )
+            _te = _time.perf_counter()
+            vals_r = eval_coords(coords)
+            if _dbg:
+                _dbg(f"eval_coords: {_time.perf_counter() - _te:.2f}s")
+            _tw = _time.perf_counter()
+            volume[coords[:, 0], coords[:, 1], coords[:, 2]] = vals_r
+            if _dbg:
+                _dbg(f"volume write: {_time.perf_counter() - _tw:.2f}s")
         rounds += 1
         if progress is not None:
             progress(f"region-grow round {rounds}: {coords.shape[0]} voxels")
 
-        # bulk-evaluate the speculative band around the current frontier
-        # into the cache (volume is untouched: only the grower writes it)
-        if (
-            prefill
-            and rounds >= prefill_start
-            and (rounds - prefill_start) % prefill_period == 0
-            and pts_ids.shape[0]
-        ):
+        def maybe_prefill(frontier_next: np.ndarray) -> None:
+            # bulk-evaluate the speculative band around the NEXT frontier
+            # into the cache (volume is untouched: only the grower writes
+            # it). Centering on the next frontier instead of the current
+            # one targets exactly the voxels the coming `prefill_period`
+            # rounds can reach — overshoot discipline, VERDICT r2.
+            if not (
+                prefill
+                and rounds >= prefill_start
+                and (rounds - prefill_start) % prefill_period == 0
+                and frontier_next.shape[0]
+            ):
+                return
             if pf_rg is not None:
-                band = pf_rg.dilate_unevaluated(pts_ids)
+                band = pf_rg.dilate_unevaluated(frontier_next)
             else:
                 fr = np.zeros(shape, dtype=bool)
-                fr[pts_ids[:, 0], pts_ids[:, 1], pts_ids[:, 2]] = True
+                fr[
+                    frontier_next[:, 0], frontier_next[:, 1],
+                    frontier_next[:, 2],
+                ] = True
                 reg = dilate_mask(fr, prefill_radius)
                 reg &= ~np.isfinite(volume)
                 band = np.argwhere(reg).astype(np.int32)
@@ -198,7 +237,11 @@ def create_volume_region_growing(
                         )
 
         if rg is not None:
+            _tf = _time.perf_counter()
             pts_ids = rg.next_frontier(pts_ids)
+            if _dbg:
+                _dbg(f"next_frontier: {_time.perf_counter() - _tf:.2f}s")
+            maybe_prefill(pts_ids)
             continue
 
         unseen[pts_ids[:, 0], pts_ids[:, 1], pts_ids[:, 2]] = False
@@ -224,6 +267,7 @@ def create_volume_region_growing(
                 grow_from_nonneg & (volume <= 0) & unseen
             )
         pts_ids = np.argwhere(new_mask).astype(np.int32)
+        maybe_prefill(pts_ids)
 
     # padded borders forced to out_value (`poco_utils.py:248-253`)
     if padding > 0:
@@ -330,13 +374,29 @@ def reconstruct_mesh(
         prefill_radius=prefill_radius,
     )
 
+    import os as _os
+    import time as _time
+
+    _dbg = (
+        (lambda msg: progress(f"  [t] {msg}"))
+        if progress is not None and _os.environ.get("PPSURF_EVAL_DEBUG") == "1"
+        else None
+    )
+
+    _t0 = _time.perf_counter()
     finite = volume[np.isfinite(volume)]
     if finite.size == 0 or not (finite.max() > mc_value > finite.min()):
         return None  # field never crosses the iso level (`poco_utils.py:92-93`)
 
     verts, faces = marching_cubes(volume, mc_value)
+    if _dbg:
+        _dbg(f"mc: {_time.perf_counter() - _t0:.2f}s")
+        _t0 = _time.perf_counter()
     mesh = clean_simple(Mesh(vertices=verts, faces=faces))
     mesh = remove_small_connected_components(mesh, num_faces=min_component_faces)
+    if _dbg:
+        _dbg(f"clean: {_time.perf_counter() - _t0:.2f}s")
+        _t0 = _time.perf_counter()
     if mesh.is_empty:
         return None
 
@@ -348,7 +408,12 @@ def reconstruct_mesh(
         )
     else:
         world = (mesh.vertices.astype(np.float64) * step + bmin_pad).astype(np.float32)
+    if _dbg:
+        _dbg(f"refine: {_time.perf_counter() - _t0:.2f}s")
+        _t0 = _time.perf_counter()
 
     mesh = clean_simple(Mesh(vertices=world, faces=mesh.faces))
     mesh = remove_small_connected_components(mesh, num_faces=min_component_faces)
+    if _dbg:
+        _dbg(f"final clean: {_time.perf_counter() - _t0:.2f}s")
     return mesh

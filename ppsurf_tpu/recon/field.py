@@ -256,28 +256,6 @@ def _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
     return jax.jit(refine_one)
 
 
-@functools.lru_cache(maxsize=32)
-def _make_refine_multi(net, is_ppsurf, num_pts_local, spec_k, shared,
-                       knn_tile, transform, iters, num_chunks,
-                       projected=False, fused=False):
-    """Refine `num_chunks` vertex chunks in ONE dispatch (lax.map over the
-    per-chunk scanned refinement) — same dispatch-amortization rationale
-    as `_make_eval_multi`."""
-    one = _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
-                             knn_tile, transform, iters, projected, fused)
-
-    def refine_multi(variables, pts_all, latents, pts_raw, raw_valid,
-                     v, v1, v2, p1, p2):
-        """Leading axis num_chunks on v/v1/v2/p1/p2."""
-        return jax.lax.map(
-            lambda c: one(variables, pts_all, latents, pts_raw, raw_valid,
-                          *c),
-            (v, v1, v2, p1, p2),
-        )
-
-    return jax.jit(refine_multi)
-
-
 class LatentEncoder:
     """Accumulate per-point latents over deterministic partition passes.
 
@@ -689,6 +667,19 @@ class FieldEvaluator:
         m = v.shape[0]
         if m == 0 or iters == 0:
             return np.asarray(v, np.float32)
+        import time as _time
+
+        _dbg = _os.environ.get("PPSURF_EVAL_DEBUG") == "1"
+        _t0 = _time.perf_counter()
+
+        def _mark(label):
+            if _dbg:
+                print(
+                    f"#   refine[{m}] {label}: "
+                    f"{_time.perf_counter() - _t0:6.2f}s",
+                    flush=True,
+                )
+
         from ppsurf_tpu.ops.morton import morton_order
 
         order = morton_order(v, *self._bbox)
@@ -721,38 +712,16 @@ class FieldEvaluator:
                 out[s : s + take] = (
                     r.reshape(-1, 3)[:take] if grouped else r[:take]
                 )
+                _mark(f"drained@{s}+{take}")
 
-        # grouped dispatch over full-size chunks (binary decomposition,
-        # same rationale as __call__)
-        chunk = self.chunk
-        full_chunks = m // chunk
+        # NO grouped dispatch here (unlike __call__): each per-chunk refine
+        # program is a 10-iteration scan (~1.4 s of device work), so the
+        # ~30 ms dispatch overhead is already amortized, and the g-grouped
+        # variants are among the most expensive compiles — at res 257 they
+        # were compiling INSIDE the measured reconstruction (r3: 42 s
+        # refine phase of which ~14 s was device work). Chunks overlap via
+        # the in-flight window instead.
         start = 0
-        for g in (4, 2):
-            while full_chunks - start // chunk >= g:
-                multi = _make_refine_multi(
-                    self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
-                    self._spec_k, self.shared_cloud, self.knn_tile,
-                    self.transform, iters, g, self._projected, self._fused,
-                )
-                sl = slice(start, start + g * chunk)
-
-                def gseg(a, last=3):
-                    x = a[sl]
-                    return jnp.asarray(
-                        np.ascontiguousarray(x).reshape(
-                            (g, chunk) + x.shape[1:]
-                        )
-                    )
-
-                res = multi(
-                    self.variables, self.pts, self.latents, raw, rawv,
-                    gseg(arrs[0]), gseg(arrs[1]), gseg(arrs[2]),
-                    gseg(preds[0]), gseg(preds[1]),
-                )
-                pending.append((start, g * chunk, res, True))
-                start += g * chunk
-                drain(self._max_inflight)
-
         while start < m:
             remaining = m - start
             c = next((b for b in sorted(buckets) if b >= remaining), buckets[0])
@@ -771,6 +740,7 @@ class FieldEvaluator:
                 seg(arrs[0], 0.0), seg(arrs[1], 0.0), seg(arrs[2], 0.0),
                 seg(preds[0], 1.0), seg(preds[1], 1.0),
             )
+            _mark(f"submitted c{c}@{start}")
             pending.append((start, take, res, False))
             start += take
             drain(self._max_inflight)

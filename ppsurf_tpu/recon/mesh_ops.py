@@ -14,14 +14,34 @@ import numpy as np
 from ppsurf_tpu.io.ply import Mesh
 
 
+def _unique_rows(key: np.ndarray) -> typing.Tuple[np.ndarray, np.ndarray]:
+    """(first_occurrence_index, inverse) for row-duplicates of `key`.
+
+    Equivalent to np.unique(key, axis=0, return_index, return_inverse)
+    except that unique groups come in lexicographic value order instead of
+    void-byte order (both deterministic). The lexsort path is ~20x faster
+    at production sizes (np.unique(axis=0) sorts rows as void scalars —
+    14.9 s of the res-257 reconstruction's mesh-clean phase was these row
+    uniques on ~1M-row arrays).
+    """
+    order = np.lexsort(key.T[::-1])
+    ks = key[order]
+    new = np.empty(order.shape[0], bool)
+    new[0] = True
+    np.any(ks[1:] != ks[:-1], axis=1, out=new[1:])
+    inverse = np.empty(order.shape[0], np.int64)
+    inverse[order] = np.cumsum(new) - 1
+    # lexsort is stable, so the group leader is the smallest original index
+    first = order[np.flatnonzero(new)]
+    return first, inverse
+
+
 def merge_duplicate_vertices(mesh: Mesh, digits: int = 10) -> Mesh:
     """Merge vertices that coincide up to rounding."""
     if mesh.vertices.shape[0] == 0:
         return mesh
     key = np.round(mesh.vertices.astype(np.float64), digits)
-    _, first, inverse = np.unique(
-        key, axis=0, return_index=True, return_inverse=True
-    )
+    first, inverse = _unique_rows(key)
     verts = mesh.vertices[first]
     faces = inverse[mesh.faces]
     colors = mesh.vertex_colors[first] if mesh.vertex_colors is not None else None
@@ -35,9 +55,17 @@ def remove_degenerate_faces(mesh: Mesh) -> Mesh:
         return mesh
     ok = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
     f = f[ok]
-    # duplicate faces (same vertex set)
+    # duplicate faces (same vertex set): scalar int64 keys when the vertex
+    # count permits (v^3 < 2^63), row-unique fallback otherwise
     key = np.sort(f, axis=1)
-    _, first = np.unique(key, axis=0, return_index=True)
+    nv = int(mesh.vertices.shape[0])
+    if 0 < nv < 2_000_000:
+        k1 = (
+            key[:, 0].astype(np.int64) * nv + key[:, 1]
+        ) * nv + key[:, 2]
+        _, first = np.unique(k1, return_index=True)
+    else:
+        first, _ = _unique_rows(key)
     f = f[np.sort(first)]
     return Mesh(vertices=mesh.vertices, faces=f, vertex_colors=mesh.vertex_colors)
 
@@ -97,11 +125,14 @@ def face_connected_components(
     edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
     edges = np.sort(edges, axis=1)
     face_id = np.tile(np.arange(n_faces), 3)
-    # group faces by shared edge
-    order = np.lexsort((edges[:, 1], edges[:, 0]))
-    es = edges[order]
+    # group faces by shared edge: scalar int64 edge keys sort ~5x faster
+    # than a 2-column lexsort at production sizes (2.9M edges)
+    nv = int(edges.max()) + 1 if edges.size else 1
+    ekey = edges[:, 0].astype(np.int64) * nv + edges[:, 1]
+    order = np.argsort(ekey, kind="stable")
+    es = ekey[order]
     fs = face_id[order]
-    same = np.all(es[1:] == es[:-1], axis=1)
+    same = es[1:] == es[:-1]
     a = fs[:-1][same]
     b = fs[1:][same]
     graph = sp.coo_matrix(
