@@ -137,6 +137,13 @@ def main() -> int:
     )
     warm_eval.warmup(refine_iters=spec.gen_refine_iter, multi=True)
 
+    # the compiled-program object graph is huge; without this, gen-2 GC
+    # passes over it fire inside the measured numpy calls (2-16 s spikes
+    # wandering between mesh-cleanup steps)
+    from ppsurf_tpu.utils.alloc import freeze_gc
+
+    freeze_gc()
+
     # --- measured: full per-object reconstruction, best of `reps` passes.
     # The TPU here sits behind a shared tunnel with multi-minute external
     # stalls (a single chunk was observed to take 9 min once and 0.25 s

@@ -298,12 +298,19 @@ void kdtree_query(void* handle, const float* queries, int64_t nq, int k,
 // face-adjacency connected components
 // ---------------------------------------------------------------------------
 
-// labels: (n_faces,) preallocated; returns number of components
+// labels: (n_faces,) preallocated; returns number of components.
+//
+// Sort-based: (edge_key, face) pairs sorted once, runs of equal keys
+// union their faces. Replaces an unordered_map edge registry — hashing
+// 3F keys does cache/TLB-hostile random access, which on the sandboxed
+// kernels this runs under (see utils/alloc.py) was measured at up to 8x
+// the standalone cost inside a large-heap process; std::sort's mostly
+// sequential passes are robust to that. ~0.4 s at 966k faces vs 2-16 s
+// for the scipy coo/csr/BFS pipeline in-process.
 int64_t face_components(const int64_t* faces, int64_t n_faces, int64_t* labels) {
-  // union-find over faces, joined by shared (sorted) edges
   std::vector<int64_t> parent(n_faces);
   for (int64_t i = 0; i < n_faces; ++i) parent[i] = i;
-  std::function<int64_t(int64_t)> find = [&](int64_t x) {
+  auto find = [&parent](int64_t x) {
     while (parent[x] != x) {
       parent[x] = parent[parent[x]];
       x = parent[x];
@@ -311,34 +318,105 @@ int64_t face_components(const int64_t* faces, int64_t n_faces, int64_t* labels) 
     return x;
   };
 
-  std::unordered_map<uint64_t, int64_t> edge_owner;
-  edge_owner.reserve(n_faces * 2);
-  auto edge_key = [](int64_t a, int64_t b) {
-    if (a > b) std::swap(a, b);
-    return (static_cast<uint64_t>(a) << 32) | static_cast<uint64_t>(b);
-  };
+  std::vector<std::pair<uint64_t, int64_t>> ef(3 * n_faces);
   for (int64_t f = 0; f < n_faces; ++f) {
     for (int e = 0; e < 3; ++e) {
       int64_t a = faces[3 * f + e];
       int64_t b = faces[3 * f + (e + 1) % 3];
-      uint64_t key = edge_key(a, b);
-      auto it = edge_owner.find(key);
-      if (it == edge_owner.end()) {
-        edge_owner.emplace(key, f);
-      } else {
-        int64_t ra = find(it->second), rb = find(f);
-        if (ra != rb) parent[ra] = rb;
-      }
+      if (a > b) std::swap(a, b);
+      ef[3 * f + e] = {(static_cast<uint64_t>(a) << 32) |
+                           static_cast<uint64_t>(static_cast<uint32_t>(b)),
+                       f};
     }
   }
-  std::map<int64_t, int64_t> remap;
+  std::sort(ef.begin(), ef.end());
+  for (int64_t i = 1; i < 3 * n_faces; ++i) {
+    if (ef[i].first == ef[i - 1].first) {
+      int64_t ra = find(ef[i - 1].second), rb = find(ef[i].second);
+      if (ra != rb) parent[ra] = rb;
+    }
+  }
+  // compact labels in first-occurrence order (matches the hash-map
+  // version's deterministic relabeling)
+  std::vector<int64_t> remap(n_faces, -1);
+  int64_t n_comp = 0;
   for (int64_t f = 0; f < n_faces; ++f) {
     int64_t r = find(f);
-    auto it = remap.find(r);
-    if (it == remap.end()) it = remap.emplace(r, remap.size()).first;
-    labels[f] = it->second;
+    if (remap[r] < 0) remap[r] = n_comp++;
+    labels[f] = remap[r];
   }
-  return remap.size();
+  return n_comp;
+}
+
+// ---------------------------------------------------------------------------
+// mesh cleanup primitives (recon/mesh_ops.py fast path)
+// ---------------------------------------------------------------------------
+
+// Row-unique over (n, 3) double keys. Semantics match the numpy lexsort
+// path in recon/mesh_ops.py _unique_rows: `inverse` numbers groups in
+// lexicographic value order, `first` (only the first n_unique entries
+// valid) is each group's smallest original index. Replaces np.lexsort +
+// boolean-diff numpy passes whose allocations intermittently cost seconds
+// inside the reconstruction process (single shared host core).
+int64_t unique_rows_f64(const double* keys, int64_t n, int64_t* first,
+                        int64_t* inverse) {
+  if (n == 0) return 0;
+  struct Row {
+    double a, b, c;
+    int64_t i;
+  };
+  std::vector<Row> rows(n);
+  for (int64_t i = 0; i < n; ++i)
+    rows[i] = {keys[3 * i], keys[3 * i + 1], keys[3 * i + 2], i};
+  std::sort(rows.begin(), rows.end(), [](const Row& x, const Row& y) {
+    if (x.a != y.a) return x.a < y.a;
+    if (x.b != y.b) return x.b < y.b;
+    if (x.c != y.c) return x.c < y.c;
+    return x.i < y.i;  // stable within equal keys -> leader = min index
+  });
+  int64_t g = -1;
+  for (int64_t j = 0; j < n; ++j) {
+    if (j == 0 || rows[j].a != rows[j - 1].a || rows[j].b != rows[j - 1].b ||
+        rows[j].c != rows[j - 1].c) {
+      ++g;
+      first[g] = rows[j].i;
+    }
+    inverse[rows[j].i] = g;
+  }
+  return g + 1;
+}
+
+// Degenerate + duplicate-face removal matching remove_degenerate_faces:
+// drop faces with a repeated vertex, keep the first occurrence of every
+// sorted-vertex-set, preserve original face order. Writes kept original
+// face indices (ascending) into keep (preallocated n_faces); returns count.
+int64_t dedup_faces(const int64_t* faces, int64_t n_faces, int64_t* keep) {
+  struct KF {
+    int64_t a, b, c, i;
+  };
+  std::vector<KF> kf;
+  kf.reserve(n_faces);
+  for (int64_t i = 0; i < n_faces; ++i) {
+    int64_t a = faces[3 * i], b = faces[3 * i + 1], c = faces[3 * i + 2];
+    if (a == b || b == c || a == c) continue;
+    int64_t lo = std::min(a, std::min(b, c));
+    int64_t hi = std::max(a, std::max(b, c));
+    kf.push_back({lo, a + b + c - lo - hi, hi, i});
+  }
+  std::sort(kf.begin(), kf.end(), [](const KF& x, const KF& y) {
+    if (x.a != y.a) return x.a < y.a;
+    if (x.b != y.b) return x.b < y.b;
+    if (x.c != y.c) return x.c < y.c;
+    return x.i < y.i;
+  });
+  int64_t m = 0;
+  for (size_t j = 0; j < kf.size(); ++j) {
+    if (j == 0 || kf[j].a != kf[j - 1].a || kf[j].b != kf[j - 1].b ||
+        kf[j].c != kf[j - 1].c)
+      keep[m++] = kf[j].i;
+  }
+  std::sort(keep, keep + m);
+  return m;
 }
 
 }  // extern "C"

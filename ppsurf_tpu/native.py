@@ -56,6 +56,10 @@ def _load() -> typing.Optional[ctypes.CDLL]:
     lib.kdtree_query.argtypes = [ctypes.c_void_p, f32p, i64, ctypes.c_int, f32p, i64p]
     lib.face_components.restype = i64
     lib.face_components.argtypes = [i64p, i64, i64p]
+    lib.unique_rows_f64.restype = i64
+    lib.unique_rows_f64.argtypes = [f64p, i64, i64p, i64p]
+    lib.dedup_faces.restype = i64
+    lib.dedup_faces.argtypes = [i64p, i64, i64p]
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     lib.rg_dilate_unevaluated.restype = i64
@@ -229,3 +233,31 @@ def face_components_native(faces: np.ndarray) -> typing.Optional[typing.Tuple[in
     labels = np.empty((f.shape[0],), np.int64)
     n = lib.face_components(f, f.shape[0], labels)
     return int(n), labels
+
+
+def unique_rows_native(
+    keys: np.ndarray,
+) -> typing.Optional[typing.Tuple[np.ndarray, np.ndarray]]:
+    """(first, inverse) row-unique of (n, 3) float64 keys — see
+    mesh_ops._unique_rows for the exact semantics."""
+    lib = _load()
+    if lib is None:
+        return None
+    k = np.ascontiguousarray(keys, np.float64)
+    n = k.shape[0]
+    first = np.empty((n,), np.int64)
+    inverse = np.empty((n,), np.int64)
+    nu = lib.unique_rows_f64(k, n, first, inverse)
+    return first[:nu], inverse
+
+
+def dedup_faces_native(faces: np.ndarray) -> typing.Optional[np.ndarray]:
+    """Ascending original indices of kept faces (degenerate + duplicate
+    removal) — see mesh_ops.remove_degenerate_faces."""
+    lib = _load()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(faces, np.int64)
+    keep = np.empty((f.shape[0],), np.int64)
+    m = lib.dedup_faces(f, f.shape[0], keep)
+    return keep[:m]

@@ -7,11 +7,54 @@ Implemented on numpy + scipy.sparse.csgraph instead of trimesh.
 """
 from __future__ import annotations
 
+import os
+import time
 import typing
 
 import numpy as np
 
 from ppsurf_tpu.io.ply import Mesh
+
+
+class _steptimer:
+    """Env-gated (PPSURF_EVAL_DEBUG=1) step timer for the cleanup phases —
+    they run on a single shared host core and have shown large in-process
+    slowdowns that standalone profiling does not reproduce. Reports minor
+    page-fault deltas: on this class of sandboxed kernel first-touch
+    faults cost ~100 us each, so fresh-page traffic dominates wall time."""
+
+    __slots__ = ("t", "f", "c")
+
+    def __init__(self):
+        if _DBG():
+            import resource
+
+            ru = resource.getrusage(resource.RUSAGE_SELF)
+            self.t = time.perf_counter()
+            self.f = ru.ru_minflt
+            self.c = ru.ru_utime + ru.ru_stime
+        else:
+            self.t = None
+
+    def mark(self, label: str) -> None:
+        if self.t is not None:
+            import resource
+
+            now = time.perf_counter()
+            ru = resource.getrusage(resource.RUSAGE_SELF)
+            cpu = ru.ru_utime + ru.ru_stime
+            print(
+                f"#     mesh[{label}]: {now - self.t:6.2f}s "
+                f"cpu={cpu - self.c:5.2f}s "
+                f"{(ru.ru_minflt - self.f) / 1000:.0f}k flt", flush=True,
+            )
+            self.t = now
+            self.f = ru.ru_minflt
+            self.c = cpu
+
+
+def _DBG() -> bool:
+    return os.environ.get("PPSURF_EVAL_DEBUG") == "1"
 
 
 def _unique_rows(key: np.ndarray) -> typing.Tuple[np.ndarray, np.ndarray]:
@@ -22,8 +65,17 @@ def _unique_rows(key: np.ndarray) -> typing.Tuple[np.ndarray, np.ndarray]:
     void-byte order (both deterministic). The lexsort path is ~20x faster
     at production sizes (np.unique(axis=0) sorts rows as void scalars —
     14.9 s of the res-257 reconstruction's mesh-clean phase was these row
-    uniques on ~1M-row arrays).
+    uniques on ~1M-row arrays). The native C++ sort is preferred when the
+    library is present: inside the reconstruction process, multi-MB numpy
+    temporaries intermittently cost seconds on the single shared host
+    core (see face_connected_components).
     """
+    if key.ndim == 2 and key.shape[1] == 3:
+        from ppsurf_tpu import native
+
+        result = native.unique_rows_native(key.astype(np.float64, copy=False))
+        if result is not None:
+            return result
     order = np.lexsort(key.T[::-1])
     ks = key[order]
     new = np.empty(order.shape[0], bool)
@@ -53,6 +105,15 @@ def remove_degenerate_faces(mesh: Mesh) -> Mesh:
     f = mesh.faces
     if f.shape[0] == 0:
         return mesh
+    from ppsurf_tpu import native
+
+    keep = native.dedup_faces_native(f)
+    if keep is not None:
+        return Mesh(
+            vertices=mesh.vertices,
+            faces=f[keep],
+            vertex_colors=mesh.vertex_colors,
+        )
     ok = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
     f = f[ok]
     # duplicate faces (same vertex set): scalar int64 keys when the vertex
@@ -91,37 +152,37 @@ def remove_unreferenced_vertices(mesh: Mesh) -> Mesh:
 def clean_simple(mesh: Mesh) -> Mesh:
     """Reference `clean_simple_inplace` (`mesh.py:7-13`): merge duplicate
     vertices, drop duplicate/degenerate faces."""
+    t = _steptimer()
     mesh = merge_duplicate_vertices(mesh)
+    t.mark(f"merge_dup v={mesh.vertices.shape[0]}")
     mesh = remove_degenerate_faces(mesh)
+    t.mark(f"degen f={mesh.faces.shape[0]}")
     return mesh
 
 
 def face_connected_components(
-    faces: np.ndarray, use_native: bool = False
+    faces: np.ndarray, use_native: bool = True
 ) -> typing.Tuple[int, np.ndarray]:
     """Connected components over face adjacency (shared edges).
 
-    The vectorized lexsort + scipy-csgraph path is ~5x faster than the
-    native union-find at production sizes (0.12 s vs 0.61 s at 184k
-    faces), so it is the default; the native path remains for
-    scipy-free environments.
+    The native sort+union-find is the default: the scipy coo/csr/BFS
+    pipeline, while fine standalone (~0.9 s at 966k faces), was measured
+    at 2-16 s of real CPU inside the large-heap reconstruction process
+    (cache/TLB pathology on sandboxed kernels — the work itself slowed
+    down, not the scheduling; see native face_components). The scipy
+    path remains as the no-native fallback.
     """
     n_faces = faces.shape[0]
     if n_faces == 0:
         return 0, np.zeros((0,), np.int64)
-    try:
-        import scipy.sparse as sp
-        from scipy.sparse.csgraph import connected_components
-    except ImportError:
-        use_native = True
     if use_native:
         from ppsurf_tpu import native
 
         result = native.face_components_native(faces)
         if result is not None:
             return result
-        import scipy.sparse as sp
-        from scipy.sparse.csgraph import connected_components
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
     edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
     edges = np.sort(edges, axis=1)
     face_id = np.tile(np.arange(n_faces), 3)
@@ -144,7 +205,9 @@ def face_connected_components(
 
 def remove_small_connected_components(mesh: Mesh, num_faces: int = 6) -> Mesh:
     """Keep components with > num_faces faces (reference `mesh.py:16-38`)."""
+    t = _steptimer()
     n_comp, labels = face_connected_components(mesh.faces)
+    t.mark(f"cc n={n_comp} f={mesh.faces.shape[0]}")
     if n_comp == 0:
         return mesh
     counts = np.bincount(labels, minlength=n_comp)
@@ -154,4 +217,6 @@ def remove_small_connected_components(mesh: Mesh, num_faces: int = 6) -> Mesh:
         faces=mesh.faces[keep],
         vertex_colors=mesh.vertex_colors,
     )
-    return remove_unreferenced_vertices(mesh)
+    out = remove_unreferenced_vertices(mesh)
+    t.mark("unref")
+    return out

@@ -81,6 +81,13 @@ class Predictor:
             mesh=self.mesh,
         )
 
+        # keep the (large) object graph of freshly compiled programs out
+        # of gen-2 GC passes — they otherwise fire mid-reconstruction as
+        # multi-second spikes inside numpy allocations
+        from ppsurf_tpu.utils.alloc import freeze_gc
+
+        freeze_gc()
+
         mesh = reconstruct_mesh(
             evaluator,
             input_points=pts_raw,
@@ -91,9 +98,13 @@ class Predictor:
             out_value=1.0,
             progress=self._progress if self.verbose else None,
             refine_device=evaluator.refine_bisection,
-            # dilation_size * prefill_period: exactly what two grow rounds
-            # can consume — larger radii overshoot (VERDICT r2 weak #1)
-            prefill_radius=4,
+            # speculative prefill stays off for trained fields: growth
+            # terminates in ~7 rounds and the seed-crust round already
+            # batches millions of queries into a few grouped dispatches,
+            # so bands mostly evaluate voxels no later round consumes
+            # (bench.py A/B; the engine machinery remains for degenerate
+            # many-round fields via prefill_radius > dilation_size)
+            prefill_radius=0,
         )
         return mesh
 

@@ -73,3 +73,37 @@ def test_native_components_match_scipy():
     for comp in range(n_na):
         members = lab_na == comp
         assert len(np.unique(lab_py[members])) == 1
+
+
+@needs_native
+def test_native_unique_rows_matches_numpy():
+    rng = np.random.RandomState(0)
+    key = np.round(rng.randint(0, 50, (2000, 3)).astype(np.float64) * 0.1, 10)
+    first, inverse = native.unique_rows_native(key)
+    order = np.lexsort(key.T[::-1])
+    ks = key[order]
+    new = np.ones(len(order), bool)
+    new[1:] = np.any(ks[1:] != ks[:-1], axis=1)
+    inv_ref = np.empty(len(order), np.int64)
+    inv_ref[order] = np.cumsum(new) - 1
+    np.testing.assert_array_equal(first, order[np.flatnonzero(new)])
+    np.testing.assert_array_equal(inverse, inv_ref)
+    # negative zero groups with positive zero
+    z = np.array([[0.0, 1.0, 2.0], [-0.0, 1.0, 2.0]])
+    f2, i2 = native.unique_rows_native(z)
+    assert f2.shape[0] == 1 and i2[0] == i2[1]
+
+
+@needs_native
+def test_native_dedup_faces_matches_numpy():
+    rng = np.random.RandomState(1)
+    f = rng.randint(0, 300, (5000, 3)).astype(np.int64)
+    f[10] = [7, 7, 9]  # degenerate
+    f[20] = f[30][::-1]  # duplicate vertex set, different winding
+    keep = native.dedup_faces_native(f)
+    ok = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+    ff = f[ok]
+    key = np.sort(ff, axis=1)
+    k1 = (key[:, 0] * 300 + key[:, 1]) * 300 + key[:, 2]
+    _, first = np.unique(k1, return_index=True)
+    np.testing.assert_array_equal(f[keep], ff[np.sort(first)])
