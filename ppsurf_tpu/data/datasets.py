@@ -12,6 +12,7 @@ the jitted step (`ppsurf_tpu.ops.graph`, `ppsurf_tpu.ops.patches`).
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 import os
 import threading
@@ -182,11 +183,26 @@ class ShapeDataset:
             pts = math3d.normalize_points_with_info(pts, center, scale)
         return pts.astype(np.float32), normals.astype(np.float32)
 
+    def draw_seeds(self, n: int) -> typing.List[int]:
+        """Draw n per-item augmentation seeds from the dataset stream.
+
+        Drawn serially (under the lock) so parallel prefetch workers see
+        the exact seed sequence a serial pass would — batch contents are
+        identical for any worker count.
+        """
+        with self._lock:
+            return [int(self._rng.randint(0, 2**31 - 1)) for _ in range(n)]
+
     def __getitem__(self, index: int) -> typing.Dict[str, np.ndarray]:
+        return self.fetch(index)
+
+    def fetch(
+        self, index: int, rng_seed: typing.Optional[int] = None
+    ) -> typing.Dict[str, np.ndarray]:
         pts_raw, normals_raw = self.load_raw_shape(index)
 
-        with self._lock:
-            rng_seed = self._rng.randint(0, 2**31 - 1)
+        if rng_seed is None:
+            (rng_seed,) = self.draw_seeds(1)
         rng = np.random.RandomState(rng_seed)
 
         item: typing.Dict[str, np.ndarray] = {"shape_id": np.int32(index)}
@@ -245,44 +261,63 @@ class ShapeDataset:
 
         return item
 
-    def collate(self, indices: typing.Sequence[int]) -> typing.Dict[str, np.ndarray]:
-        items = [self[i] for i in indices]
+    def collate(
+        self,
+        indices: typing.Sequence[int],
+        seeds: typing.Optional[typing.Sequence[int]] = None,
+    ) -> typing.Dict[str, np.ndarray]:
+        if seeds is None:
+            seeds = self.draw_seeds(len(indices))
+        items = [self.fetch(i, s) for i, s in zip(indices, seeds)]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
 
 class _PrefetchIterator:
-    """Single-slot background prefetch of the next batch (host work is tiny
-    after moving graph building on device, but IO still overlaps compute)."""
+    """Bounded multi-worker batch prefetch (ordered delivery).
 
-    def __init__(self, make_batch, batch_indices):
+    Replaces the reference's DataLoader worker processes
+    (`configs/device_server.yaml:7` budgets 48/GPU; our host work is only
+    load + augment since graph building moved on device, so threads
+    suffice — numpy releases the GIL for the heavy parts). Determinism:
+    per-item augmentation seeds are drawn SERIALLY at submission time
+    (ShapeDataset.draw_seeds), so batches are bit-identical for any
+    worker count, including the old single-slot behavior.
+    """
+
+    def __init__(self, make_batch, batch_indices, prepare=None, workers=1):
+        from concurrent.futures import ThreadPoolExecutor
+
         self._make_batch = make_batch
+        self._prepare = prepare  # serial, ordered; returns extra args
         self._batches = list(batch_indices)
+        self._workers = max(1, int(workers))
+        self._depth = self._workers + 2
+        self._pool = ThreadPoolExecutor(
+            max_workers=self._workers, thread_name_prefix="prefetch"
+        )
+        self._futures = collections.deque()
         self._pos = 0
-        self._next = None
-        self._thread = None
-        self._start_prefetch()
+        self._top_up()
 
-    def _start_prefetch(self):
-        if self._pos < len(self._batches):
+    def _top_up(self):
+        while (
+            self._pos < len(self._batches)
+            and len(self._futures) < self._depth
+        ):
             idx = self._batches[self._pos]
-
-            def work():
-                self._next = self._make_batch(idx)
-
-            self._thread = threading.Thread(target=work, daemon=True)
-            self._thread.start()
+            extra = self._prepare(idx) if self._prepare is not None else ()
+            self._futures.append(self._pool.submit(self._make_batch, idx, *extra))
+            self._pos += 1
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        if self._pos >= len(self._batches):
+        if not self._futures:
+            self._pool.shutdown(wait=False)
             raise StopIteration
-        self._thread.join()
-        batch = self._next
-        self._pos += 1
-        self._next = None
-        self._start_prefetch()
+        batch = self._futures.popleft().result()
+        self._top_up()
         return batch
 
 
@@ -305,7 +340,8 @@ class OccupancyDataModule:
         do_data_augmentation: bool = True,
         patches_per_shape: typing.Optional[int] = None,
         with_raw_cloud: bool = True,
-        workers: int = 0,  # accepted for config parity; prefetch is threaded
+        workers: int = 0,  # prefetch worker threads (0 -> 1); reference
+        # budgets 48 DataLoader processes/GPU (device_server.yaml:7)
     ):
         self.paths = DatasetPaths(in_file)
         self.batch_size = batch_size
@@ -357,4 +393,10 @@ class OccupancyDataModule:
         elif drop_last:
             order = order[: len(order) - len(order) % bs]
         batches = [order[i : i + bs] for i in range(0, len(order), bs)]
-        return _PrefetchIterator(dataset.collate, batches)
+        return _PrefetchIterator(
+            dataset.collate,
+            batches,
+            # seeds drawn serially at submission: worker-count-invariant
+            prepare=lambda idx: (dataset.draw_seeds(len(idx)),),
+            workers=self.workers or 1,
+        )

@@ -46,6 +46,25 @@ class TestData:
         assert len(batches) == 1
         assert batches[0]["pts_ms"].shape == (4, 128, 3)
 
+    def test_prefetch_workers_deterministic(self, abc_minimal_dir):
+        """Multi-worker prefetch yields bit-identical batches to serial:
+        augmentation seeds are drawn serially at submission."""
+        ref = None
+        for workers in (0, 1, 4):
+            dm = tiny_datamodule(abc_minimal_dir)
+            dm.workers = workers
+            ds = dm.train_dataset()  # fresh dataset: fresh seed stream
+            batches = list(
+                dm.epoch_batches(ds, np.random.RandomState(0), shuffle=True)
+            )
+            if ref is None:
+                ref = batches
+            else:
+                assert len(batches) == len(ref)
+                for b, r in zip(batches, ref):
+                    for key in r:
+                        np.testing.assert_array_equal(b[key], r[key])
+
     def test_augmentation_rotates(self, abc_minimal_dir):
         dm = tiny_datamodule(abc_minimal_dir)
         ds_aug = dm.train_dataset()
