@@ -45,9 +45,9 @@ S = 128  # points per block (lane width)
 PAD_PENALTY = 1e12  # w = sqrt(penalty); finite so 0*w stays 0 in matmuls
 
 
-def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, out_ref, ok_ref,
+def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
                 bm_ref, blkids_ref, cand_ref, *,
-                k: int, nb: int, tq: int, kb: int):
+                k: int, nb: int, tq: int, kb: int, aabb: bool):
     """One query tile.
 
     q (TQ, 3); pts_cm (4, NB*S) coordinate-major; pts_blk_t (4*S, NB)
@@ -90,7 +90,32 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, out_ref, ok_ref,
         bm_ref[pl.ds(pl.multiple_of(jg * G, G), G), :] = jnp.stack(mins, axis=0)
         return 0
 
-    jax.lax.fori_loop(0, nb // G, block_min_group, 0)
+    if aabb:
+        # ---- stage 1 (AABB variant): per-block LOWER BOUNDS instead of
+        # true block minima. aabb_ref (6*nb, tq) holds pre-broadcast block
+        # AABB planes (lox,loy,loz,hix,hiy,hiz); lb = squared distance of
+        # the query to the box. ~100x fewer VPU ops than the brute pass
+        # (12 vs ~1150 per (block, query)). Every downstream use of bm is
+        # still a valid lower bound for any point in the block, so the
+        # stage-2 selection + stage-3 certificate stay exact; only the
+        # FALLBACK needs true minima (recomputed there) because its
+        # "k blocks each contain a closer point" argument needs them.
+        qxT = q[:, 0][None, :]  # (1, TQ)
+        qyT = q[:, 1][None, :]
+        qzT = q[:, 2][None, :]
+        zero = jnp.float32(0)
+        tx = jnp.maximum(
+            jnp.maximum(aabb_ref[0 * nb : 1 * nb, :] - qxT,
+                        qxT - aabb_ref[3 * nb : 4 * nb, :]), zero)
+        ty = jnp.maximum(
+            jnp.maximum(aabb_ref[1 * nb : 2 * nb, :] - qyT,
+                        qyT - aabb_ref[4 * nb : 5 * nb, :]), zero)
+        tz = jnp.maximum(
+            jnp.maximum(aabb_ref[2 * nb : 3 * nb, :] - qzT,
+                        qzT - aabb_ref[5 * nb : 6 * nb, :]), zero)
+        bm_ref[:] = tx * tx + ty * ty + tz * tz
+    else:
+        jax.lax.fori_loop(0, nb // G, block_min_group, 0)
 
     # ---- stage 2: best blocks per query ----
     kb_full = min(k, nb)  # unconditionally exact block count
@@ -216,10 +241,17 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, out_ref, ok_ref,
 
     @pl.when(jnp.logical_not(tile_ok))
     def _fallback():
-        # redo with the unconditionally exact block set. bm_ref was never
-        # mutated (stage 2 carries by value), so re-picking from scratch
-        # rebuilds blkids rows 0..kb1 identically and extends to kb_full;
-        # the primary extraction consumed cand rows, so refill everything.
+        # redo with the unconditionally exact block set. The exactness
+        # argument (k selected blocks each contain an element <= any
+        # element of an unselected block) needs TRUE block minima — under
+        # the AABB stage 1 bm_ref holds lower bounds, so recompute them
+        # here (the brute pass runs only for certificate-failing tiles).
+        if aabb:
+            jax.lax.fori_loop(0, nb // G, block_min_group, 0)
+        # bm_ref was never mutated by stage 2 (it carries by value), so
+        # re-picking from scratch rebuilds blkids rows 0..kb1 (identically
+        # in the non-AABB case) and extends to kb_full; the primary
+        # extraction consumed cand rows, so refill everything.
         jax.lax.fori_loop(0, kb_full, pick_block, bm_ref[:])
         blkids2 = blkids_ref[:]  # fresh read: all kb_full rows valid now
         jax.lax.fori_loop(0, kb_full, make_fill_slot(blkids2), 0)
@@ -240,11 +272,14 @@ def default_tile(k: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tq", "kb", "return_stats", "interpret")
+    jax.jit,
+    static_argnames=("k", "tq", "kb", "return_stats", "interpret", "aabb"),
 )
 def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
                       kb: int = 0, return_stats: bool = False,
-                      interpret: bool = False):
+                      interpret: bool = False, aabb: bool = False):
+    # aabb=True replaces the brute stage 1 with per-block AABB lower
+    # bounds (~100x fewer stage-1 ops, exactness preserved through the
     """Exact kNN ids (Q, k) for one cloud.
 
     points: (N, 3) f32; valid: (N,) bool mask (True = real point) or None;
@@ -257,6 +292,14 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
     most tiles take the fallback and the extra pass is pure overhead.
     return_stats additionally returns the (Qpad/tq padded) ok-flag rows
     for fallback-rate diagnostics.
+
+    aabb=True replaces the brute stage 1 with per-block AABB lower bounds
+    (~100x fewer stage-1 ops; exactness preserved through the certificate
+    plus a true-min fallback) — but the lb-based certificate is far
+    weaker: on ABC surface clouds with grid queries the tile fallback
+    rate was 56-100% (vs 0% with true minima), so the brute pass ends up
+    running anyway. Kept (tested-exact) for experimentation on clouds
+    where blocks separate better; default OFF.
     """
     n = points.shape[0]
     pad_n = (-n) % (8 * S)  # pad to 8-block groups for the stage-1 matmul
@@ -279,15 +322,36 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
 
     kb_full = min(k, nb)
     kb1 = min(kb, kb_full) if kb > 0 else kb_full  # kb=0: band disabled
+    # the AABB stage 1 produces lower bounds, which are only exact through
+    # the banded certificate + fallback; the full-band path's exactness
+    # argument needs true minima, so it keeps the brute stage 1
+    aabb = aabb and kb1 < kb_full
+
+    # per-block AABBs (6, nb) -> pre-broadcast (6*nb, tq) so the kernel's
+    # stage-1 math is pure (nb, tq) elementwise ops with zero relayouts.
+    # Fully-padded blocks get +/-BIG planes -> lb ~ BIG^2, never selected.
+    if aabb:
+        BIG = jnp.float32(1e15)
+        pts_b = pts.reshape(nb, S, 3)
+        validb = valid_p.reshape(nb, S, 1)
+        lo = jnp.min(jnp.where(validb, pts_b, BIG), axis=1)  # (nb, 3)
+        hi = jnp.max(jnp.where(validb, pts_b, -BIG), axis=1)
+        planes = jnp.concatenate([lo.T, hi.T], axis=0)  # (6, nb)
+        aabb_bc = jnp.broadcast_to(
+            planes[:, :, None], (6, nb, tq)
+        ).reshape(6 * nb, tq)
+    else:
+        aabb_bc = jnp.zeros((6 * nb, tq), jnp.float32)
 
     grid = qp.shape[0] // tq
     out, okf = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, nb=nb, tq=tq, kb=kb1),
+        functools.partial(_knn_kernel, k=k, nb=nb, tq=tq, kb=kb1, aabb=aabb),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tq, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * S, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6 * nb, tq), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -309,7 +373,7 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(qp, pts_cm, pts_blk_t)
+    )(qp, pts_cm, pts_blk_t, aabb_bc)
     if return_stats:
         return out.T[:num_q], okf
     return out.T[:num_q]

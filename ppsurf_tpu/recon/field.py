@@ -38,11 +38,13 @@ def _ceil_to(x: int, m: int) -> int:
 
 import os as _os
 
-KNN_BAND = int(_os.environ.get("PPSURF_KNN_BAND", "16"))
+KNN_BAND = int(_os.environ.get("PPSURF_KNN_BAND", "12"))
 # banded-kNN block count: certificate p99 is ~9 blocks on ABC clouds
-# (60k pts, k=64 grid queries), so 16 makes in-kernel fallback rare while
-# cutting the one-hot gather + extraction ~4x (ops/knn_pallas.py).
-# 0 disables the band (full exact path); env override for benchmarking.
+# (60k pts, k=64 grid queries), so 12 makes in-kernel fallback rare
+# (measured 0% tiles on ABC clouds with grid queries; kb=10 hit 25% on
+# one cloud) while cutting the one-hot gather + extraction rows 25% vs
+# the round-2 kb=16. 0 disables the band (full exact path); env override
+# for benchmarking.
 
 
 @functools.lru_cache(maxsize=32)
@@ -398,7 +400,13 @@ class FieldEvaluator:
         self.net = net
         self.spec = spec
         self.variables = variables
-        self.chunk = spec.rec_batch_size
+        # internal chunk unit: rec_batch_size rounded up to a 128 multiple.
+        # The Pallas decoder/PointNet kernels tile queries by 128, so a
+        # non-multiple chunk makes XLA pad/unpad the (C*k, L) gathered
+        # latents — a full copy of a ~1.6 GB intermediate per dispatch
+        # (profiler: pad ops ~7 ms per 50k chunk). Chunk size is purely an
+        # implementation detail; results are identical for any value.
+        self.chunk = _ceil_to(spec.rec_batch_size, 128)
         self.transform = transform
         self.mesh = mesh
         # When the patch branch queries the same cloud the decoder does
@@ -509,7 +517,7 @@ class FieldEvaluator:
         buckets = [self.chunk]
         divs = (8,) if for_refine else (2, 4, 8)
         for div in divs:
-            b = self.chunk // div
+            b = _ceil_to(self.chunk // div, 128)  # kernel tile multiple
             if b >= 1024:
                 buckets.append(b)
         return buckets
