@@ -61,16 +61,21 @@ def _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
     of XLA-scheduled per-layer matmuls (requires projected).
     """
 
-    def chunk_body(variables, pts_all, latents, queries, pts_raw, raw_valid):
+    def chunk_body(variables, pts_all, latents, queries, pts_raw, raw_valid,
+                   proj_ids=None):
         """queries: (1, C, 3) -> field values (C,).
 
         pts_all arrives Morton-sorted and queries Morton-sorted per chunk
         (FieldEvaluator handles both permutations), so the banded kNN's
         spatial-locality certificate holds for nearly every tile.
+        proj_ids (1, C, k) may be supplied by the caller (the candidate-
+        based refinement computes exact kNN from a certified candidate
+        set); None -> computed here.
         """
-        proj_ids = build_proj_ids(
-            pts_all, queries, k=spec_k, tile=knn_tile, kb=KNN_BAND
-        )
+        if proj_ids is None:
+            proj_ids = build_proj_ids(
+                pts_all, queries, k=spec_k, tile=knn_tile, kb=KNN_BAND
+            )
         data = {
             "pts": pts_all,
             "pts_query": queries,
@@ -254,6 +259,76 @@ def _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
             step, (v, v1, v2, p1, p2), None, length=iters
         )
         return v
+
+    return jax.jit(refine_one)
+
+
+# candidate count for candidate-based refinement: every bisection iterate
+# stays on the [v1, v2] grid edge, so the kc nearest of the edge MIDPOINT
+# certify the exact k-NN of every iterate when
+# tau_k(m) + r <= tau_kc(m) - r (r = half edge length). Measured on ABC
+# clouds at res-257 edge lengths: kc=192 passes for 100% of vertices
+# (kc=160: 99.8%, kc=128: 71.5%).
+REFINE_CAND_K = int(_os.environ.get("PPSURF_REFINE_CAND_K", "192"))
+
+
+@functools.lru_cache(maxsize=32)
+def _make_refine_cand_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
+                            knn_tile, transform, iters, kc,
+                            projected=False, fused=False):
+    """Candidate-based bisection refinement: ONE kc-NN query per chunk
+    (at the edge midpoints) replaces the full kNN inside every one of the
+    `iters` scanned field evaluations — each iteration selects its exact
+    spec_k nearest from the certified candidate set with a (C, kc) top_k.
+
+    Exactness: for any x on [v1, v2], |x - m| <= r, so any point OUTSIDE
+    the candidate set is at distance >= tau_kc(m) - r while the k-th
+    candidate is at <= tau_k(m) + r; `cert` reports the per-vertex
+    worst-case check and failing vertices are re-refined by the caller
+    through the plain full-kNN path (`refine_bisection`).
+
+    Returns (refined_v, cert_ok (C,) bool).
+    """
+    body = _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared,
+                            knn_tile, transform, projected, fused)
+
+    def refine_one(variables, pts_all, latents, pts_raw, raw_valid,
+                   v, v1, v2, p1, p2):
+        m = 0.5 * (v1 + v2)
+        r = 0.5 * jnp.sqrt(jnp.sum((v1 - v2) ** 2, axis=-1))  # (C,)
+        # wider band than the k=64 production setting: kc=192 neighbors
+        # span proportionally more Morton blocks (in-kernel fallback keeps
+        # it exact regardless)
+        ids_c = build_proj_ids(
+            pts_all, m[None], k=kc, tile=knn_tile, kb=2 * KNN_BAND
+        )[0]  # (C, kc), nearest-first
+        cpts = jnp.take(pts_all[0], ids_c, axis=0)  # (C, kc, 3)
+        d2m = jnp.sum((m[:, None, :].astype(jnp.float32)
+                       - cpts.astype(jnp.float32)) ** 2, -1)
+        tau_k = jnp.sqrt(d2m[:, spec_k - 1])
+        tau_c = jnp.sqrt(d2m[:, kc - 1])
+        cert = (tau_k + r) <= (tau_c - r)
+
+        def step(carry, _):
+            v, v1, v2, p1, p2 = carry
+            d2 = jnp.sum((v[:, None, :].astype(jnp.float32)
+                          - cpts.astype(jnp.float32)) ** 2, -1)  # (C, kc)
+            _, loc = jax.lax.top_k(-d2, spec_k)  # ascending distance
+            ids_k = jnp.take_along_axis(ids_c, loc, axis=1)  # (C, spec_k)
+            preds = body(variables, pts_all, latents, v[None],
+                         pts_raw, raw_valid, proj_ids=ids_k[None])
+            m1 = (preds * p1) > 0
+            v1 = jnp.where(m1[:, None], v, v1)
+            p1 = jnp.where(m1, preds, p1)
+            m2 = (preds * p2) > 0
+            v2 = jnp.where(m2[:, None], v, v2)
+            p2 = jnp.where(m2, preds, p2)
+            return (0.5 * (v1 + v2), v1, v2, p1, p2), 0
+
+        (v, v1, v2, p1, p2), _ = jax.lax.scan(
+            step, (v, v1, v2, p1, p2), None, length=iters
+        )
+        return v, cert
 
     return jax.jit(refine_one)
 
@@ -534,6 +609,15 @@ class FieldEvaluator:
                 z3 = np.zeros((c, 3), np.float32)
                 z1 = np.ones((c,), np.float32)
                 self.refine_bisection(z3, z3, z3, z1, -z1, refine_iters)
+        if refine_iters:
+            # the full-kNN refine program at the smallest bucket backs the
+            # candidate path's certificate fallback — compile it now so a
+            # rare mid-reconstruction failure doesn't compile inline
+            c = self._chunk_sizes(for_refine=True)[-1]
+            z3 = np.zeros((c, 3), np.float32)
+            z1 = np.ones((c,), np.float32)
+            self.refine_bisection(z3, z3, z3, z1, -z1, refine_iters,
+                                  force_full=True)
         if multi:
             for g in self._MULTI_GROUPS:
                 self(np.zeros((g * self.chunk, 3), np.float32))
@@ -663,6 +747,7 @@ class FieldEvaluator:
         p1: np.ndarray,  # (M,) field at v1 / v2
         p2: np.ndarray,
         iters: int,
+        force_full: bool = False,  # skip the candidate path (warmup/tests)
     ) -> np.ndarray:
         """Run the full bisection refinement on device.
 
@@ -704,6 +789,21 @@ class FieldEvaluator:
             self._spec_k, self.shared_cloud, self.knn_tile, self.transform,
             iters, self._projected, self._fused,
         )
+        # candidate-based path: one kc-NN per chunk instead of a full kNN
+        # inside every scanned iteration (see _make_refine_cand_chunk);
+        # certificate-failing vertices are re-refined via `refine` below
+        use_cand = (
+            not force_full
+            and _os.environ.get("PPSURF_REFINE_CAND", "1") != "0"
+            and self.pts.shape[1] > REFINE_CAND_K + self._spec_k
+        )
+        if use_cand:
+            refine_cand = _make_refine_cand_chunk(
+                self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
+                self._spec_k, self.shared_cloud, self.knn_tile,
+                self.transform, iters, REFINE_CAND_K, self._projected,
+                self._fused,
+            )
         raw = self.pts_raw if self.pts_raw is not None else self.pts
         rawv = (
             self.raw_valid if self.pts_raw is not None
@@ -711,12 +811,20 @@ class FieldEvaluator:
         )
         buckets = self._chunk_sizes(for_refine=True)
         out = np.empty((m, 3), np.float32)
+        failed: typing.List[int] = []  # sorted-order indices to re-refine
         pending = []
 
         def drain(limit):
             while len(pending) > limit:
                 s, take, res, grouped = pending.pop(0)
-                r = np.asarray(res)
+                if use_cand and not grouped:
+                    vref, cert = res
+                    r = np.asarray(vref)
+                    bad = np.flatnonzero(~np.asarray(cert)[:take])
+                    if bad.size:
+                        failed.extend((s + bad).tolist())
+                else:
+                    r = np.asarray(res)
                 out[s : s + take] = (
                     r.reshape(-1, 3)[:take] if grouped else r[:take]
                 )
@@ -743,7 +851,7 @@ class FieldEvaluator:
                     s = np.concatenate([s, np.full(shape, fill, np.float32)])
                 return jnp.asarray(s)
 
-            res = refine(
+            res = (refine_cand if use_cand else refine)(
                 self.variables, self.pts, self.latents, raw, rawv,
                 seg(arrs[0], 0.0), seg(arrs[1], 0.0), seg(arrs[2], 0.0),
                 seg(preds[0], 1.0), seg(preds[1], 1.0),
@@ -753,4 +861,33 @@ class FieldEvaluator:
             start += take
             drain(self._max_inflight)
         drain(0)
+
+        # exact re-refinement of certificate failures through the full-kNN
+        # path (measured 0% at kc=192 on ABC res-257 edges; this guards
+        # exactness for any cloud)
+        if use_cand and failed:
+            _mark(f"cert-failed {len(failed)} -> full path")
+            fidx = np.asarray(failed, np.int64)
+            small = buckets[-1]
+            for s in range(0, fidx.shape[0], small):
+                sel = fidx[s : s + small]
+                take = sel.shape[0]
+                pad = small - take
+
+                def fseg(a, fill):
+                    x = a[sel]
+                    if pad:
+                        shape = (pad,) + x.shape[1:]
+                        x = np.concatenate(
+                            [x, np.full(shape, fill, np.float32)]
+                        )
+                    return jnp.asarray(x)
+
+                res = refine(
+                    self.variables, self.pts, self.latents, raw, rawv,
+                    fseg(arrs[0], 0.0), fseg(arrs[1], 0.0),
+                    fseg(arrs[2], 0.0), fseg(preds[0], 1.0),
+                    fseg(preds[1], 1.0),
+                )
+                out[sel] = np.asarray(res)[:take]
         return out[inv]

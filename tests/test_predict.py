@@ -118,6 +118,32 @@ def test_device_refinement_matches_host_loop(trained_tiny):
     )
     np.testing.assert_array_equal(mesh_dev.faces, mesh_host.faces)
 
+    # candidate-based refinement (the default for clouds > kc) must match
+    # the full-kNN path; also exercise the certificate-failure fallback by
+    # shrinking the candidate set to spec.k + 1 (certificate ~never holds)
+    import ppsurf_tpu.recon.field as field_mod
+
+    rngq = np.random.RandomState(5)
+    n = 500
+    v1 = (rngq.rand(n, 3).astype(np.float32) - 0.5) * 0.7
+    step = 0.05
+    v2 = v1.copy()
+    v2[np.arange(n), rngq.randint(0, 3, n)] += step
+    p1 = np.asarray(evaluator(v1))
+    p2 = np.asarray(evaluator(v2))
+    v = 0.5 * (v1 + v2)
+    ref = evaluator.refine_bisection(v, v1, v2, p1, p2, 3, force_full=True)
+    got = evaluator.refine_bisection(v, v1, v2, p1, p2, 3)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+
+    old_kc = field_mod.REFINE_CAND_K
+    try:
+        field_mod.REFINE_CAND_K = spec.k + 1
+        got_fb = evaluator.refine_bisection(v, v1, v2, p1, p2, 3)
+    finally:
+        field_mod.REFINE_CAND_K = old_kc
+    np.testing.assert_allclose(got_fb, ref, rtol=0, atol=1e-5)
+
 
 def test_sharded_field_eval_matches_single_device(trained_tiny):
     """Query chunks sharded over the 8-device mesh produce identical field
