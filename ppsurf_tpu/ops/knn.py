@@ -106,12 +106,17 @@ def _pad_points(points: Array, valid_n: typing.Optional[Array]):
 
 
 def _use_pallas(k: int, return_dists: bool) -> bool:
-    """Dispatch to the fused Pallas kernel on TPU (ids-only, k <= 128)."""
+    """Dispatch to the fused Pallas kernel on TPU (ids-only, k <= 256).
+
+    k > 128 uses tq=128 tiles (default_tile); the fallback candidate
+    scratch is kb_full*S*tq*4 B = 12.6 MB at k=192 — comfortably inside
+    the raised VMEM cap. 256 is a safety bound, not a measured cliff.
+    """
     try:
         backend = jax.default_backend()
     except RuntimeError:  # pragma: no cover
         return False
-    return backend == "tpu" and not return_dists and k <= 128
+    return backend == "tpu" and not return_dists and k <= 256
 
 
 def _knn_single(

@@ -44,7 +44,7 @@ def main() -> int:
 
     print("brute force on host (chunked)...", flush=True)
     ref_d = {}
-    for k in (50, 64):
+    for k in (50, 64, 192):
         out = np.empty((nq, k), np.float32)
         for s in range(0, nq, 2048):
             d2 = ((q[s:s + 2048, None, :] - pts[None]) ** 2).sum(-1)
@@ -53,9 +53,10 @@ def main() -> int:
         print(f"  k={k} done", flush=True)
 
     ok_all = True
-    for k in (50, 64):
-        for kb in (12, 16):
-            ids, okf = knn_pallas_single(pd, qd, None, k, tq=256, kb=kb,
+    for k, kbs in ((50, (12, 16)), (64, (12, 16)), (192, (24,))):
+        for kb in kbs:
+            tq = 256 if k <= 64 else 128
+            ids, okf = knn_pallas_single(pd, qd, None, k, tq=tq, kb=kb,
                                          return_stats=True)
             ids = np.asarray(ids)
             d2 = ((q[:, None, :] - pts[ids]) ** 2).sum(-1)
