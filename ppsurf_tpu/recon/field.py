@@ -741,13 +741,46 @@ class FieldEvaluator:
 
     def refine_bisection(
         self,
+        v: np.ndarray,
+        v1: np.ndarray,
+        v2: np.ndarray,
+        p1: np.ndarray,
+        p2: np.ndarray,
+        iters: int,
+        force_full: bool = False,  # skip the candidate path (warmup/tests)
+    ) -> np.ndarray:
+        """Device bisection refinement; candidate-based fast path with a
+        sticky runtime fallback — the kc=192 programs are newer Mosaic
+        surface area than the plain path and must never take down a
+        reconstruction (a compile/execute failure downgrades this
+        evaluator to the full-kNN path permanently)."""
+        if not force_full and getattr(self, "_cand_broken", False):
+            force_full = True
+        try:
+            return self._refine_impl(v, v1, v2, p1, p2, iters, force_full)
+        except Exception:
+            if force_full:
+                raise
+            self._cand_broken = True
+            import sys
+            import traceback
+
+            print(
+                "# candidate refinement failed; retrying via full kNN:",
+                file=sys.stderr,
+            )
+            traceback.print_exc()
+            return self._refine_impl(v, v1, v2, p1, p2, iters, True)
+
+    def _refine_impl(
+        self,
         v: np.ndarray,  # (M, 3) current vertex positions (world)
         v1: np.ndarray,
         v2: np.ndarray,
         p1: np.ndarray,  # (M,) field at v1 / v2
         p2: np.ndarray,
         iters: int,
-        force_full: bool = False,  # skip the candidate path (warmup/tests)
+        force_full: bool = False,
     ) -> np.ndarray:
         """Run the full bisection refinement on device.
 
