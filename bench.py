@@ -21,11 +21,20 @@ Baseline: the reference needs ~60 s/object on one NVIDIA A40 at the same
 settings (reference README.md:117, BASELINE.md). vs_baseline = 60 / ours.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Resilience: the TPU here sits behind a shared tunnel whose backend drops
+UNAVAILABLE for long windows (observed 1h+). The top-level driver therefore
+probes backend availability with backoff (budget BENCH_BACKEND_WAIT, default
+25 min), runs the measured bench in a subprocess with retries
+(BENCH_MAX_ATTEMPTS), persists every good result to BENCH_LAST_GOOD.json,
+and — if the backend never comes back — re-emits the last good result with
+an explicit "stale": true marker instead of crashing.
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -35,8 +44,11 @@ import numpy as np
 # device refinement, latent scan) are identical across runs and shapes
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
+_LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_LAST_GOOD.json")
 
-def main() -> int:
+
+def run_bench() -> int:
     from ppsurf_tpu.utils.alloc import tune_host_allocator
 
     tune_host_allocator()
@@ -220,6 +232,123 @@ def main() -> int:
         file=sys.stderr,
     )
     return 0
+
+
+def _emit(result: dict) -> int:
+    print(json.dumps(result))
+    return 0
+
+
+def _emit_fallback(reason: str) -> int:
+    """Backend never came back: re-emit the last good result (marked stale)
+    or a structured error line — never a raw traceback."""
+    print(f"# {reason}", file=sys.stderr, flush=True)
+    if os.path.isfile(_LAST_GOOD):
+        try:
+            with open(_LAST_GOOD) as f:
+                rec = json.load(f)
+            result = dict(rec["result"])
+            result["stale"] = True
+            result["stale_reason"] = reason
+            result["stale_from"] = rec.get("timestamp")
+            return _emit(result)
+        except Exception as exc:
+            print(f"# last-good record unreadable: {exc}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "ppsurf50nn_e2e_reconstruction_res257",
+        "value": None, "unit": "s/object", "vs_baseline": None,
+        "error": reason,
+    }))
+    return 1
+
+
+def _probe_backend(timeout_s: float = 300.0) -> bool:
+    """Check the JAX backend initializes, in a throwaway subprocess (backend
+    init failure poisons in-process JAX state; a clean child releases any
+    TPU claim on exit)."""
+    code = "import jax; assert jax.devices()"
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code],
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    if p.returncode != 0:
+        tail = p.stderr.decode(errors="replace").strip().splitlines()
+        if tail:
+            print(f"# probe: {tail[-1][:200]}", file=sys.stderr, flush=True)
+    return p.returncode == 0
+
+
+def main() -> int:
+    if "--run" in sys.argv:
+        return run_bench()
+
+    wait_budget = float(os.environ.get("BENCH_BACKEND_WAIT", "1500"))
+    max_attempts = int(os.environ.get("BENCH_MAX_ATTEMPTS", "3"))
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "3000"))
+    deadline = time.time() + wait_budget
+
+    def wait_for_backend() -> bool:
+        delay = 30.0
+        while not _probe_backend():
+            if time.time() >= deadline:
+                return False
+            print(f"# backend unavailable; re-probing in {delay:.0f}s "
+                  f"({deadline - time.time():.0f}s of budget left)",
+                  file=sys.stderr, flush=True)
+            time.sleep(min(delay, max(1.0, deadline - time.time())))
+            delay = min(delay * 1.6, 240.0)
+        return True
+
+    if not wait_for_backend():
+        return _emit_fallback(
+            f"TPU backend unavailable after {wait_budget:.0f}s of probes")
+
+    last_err = "bench subprocess failed"
+    for attempt in range(max_attempts):
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run"],
+                stdout=subprocess.PIPE, timeout=attempt_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"bench attempt {attempt + 1} timed out"
+            print(f"# {last_err}", file=sys.stderr, flush=True)
+            continue
+        out = p.stdout.decode(errors="replace")
+        result = None
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    cand = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(cand, dict) and cand.get("value") is not None:
+                    result = cand
+            elif line:
+                print(line, file=sys.stderr)
+        if p.returncode == 0 and result is not None:
+            try:
+                with open(_LAST_GOOD, "w") as f:
+                    json.dump({"result": result,
+                               "timestamp": time.strftime(
+                                   "%Y-%m-%dT%H:%M:%SZ", time.gmtime())},
+                              f, indent=1)
+            except OSError as exc:
+                print(f"# could not persist last-good: {exc}",
+                      file=sys.stderr)
+            return _emit(result)
+        last_err = (f"bench attempt {attempt + 1} exited rc={p.returncode} "
+                    f"without a result")
+        print(f"# {last_err}", file=sys.stderr, flush=True)
+        if attempt + 1 < max_attempts and not wait_for_backend():
+            return _emit_fallback(
+                f"{last_err}; backend did not recover within budget")
+    return _emit_fallback(last_err)
 
 
 if __name__ == "__main__":

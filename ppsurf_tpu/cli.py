@@ -241,6 +241,26 @@ def rewrite_rec_args(positional, overrides):
     return list(overrides) + extra
 
 
+def save_resolved_config(cfg: dict, version_dir: str, subcommand: str) -> None:
+    """Snapshot the fully resolved (stacked + overridden) config into the
+    run dir so every run is reproducible from its artifacts — parity with
+    the reference's `save_config_kwargs={'overwrite': True}`
+    (`source/cli.py:50`). fit writes `config.yaml`; test/predict write
+    `config_{subcommand}.yaml` next to it so they never clobber the
+    training record."""
+    try:
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return
+    except Exception:
+        pass
+    name = "config.yaml" if subcommand == "fit" else f"config_{subcommand}.yaml"
+    os.makedirs(version_dir, exist_ok=True)
+    with open(os.path.join(version_dir, name), "w") as fp:
+        yaml.safe_dump(cfg, fp, sort_keys=False)
+
+
 def main(argv=None, default_configs=()):
     from ppsurf_tpu.utils.alloc import tune_host_allocator
 
@@ -279,6 +299,7 @@ def main(argv=None, default_configs=()):
         from ppsurf_tpu.train.loop import Trainer
 
         trainer = Trainer(spec, train_cfg)
+        save_resolved_config(cfg, trainer.version_dir, subcommand)
         trainer.fit(datamodule, ckpt_path=cfg.get("ckpt_path"))
         return 0
 
@@ -291,6 +312,12 @@ def main(argv=None, default_configs=()):
             "pass --ckpt_path"
         )
     variables = load_checkpoint_variables(ckpt_path)
+    # snapshot into the run dir the checkpoint came from
+    # (.../version_{v}/checkpoints/<ckpt> -> .../version_{v})
+    save_resolved_config(
+        cfg, os.path.dirname(os.path.dirname(os.path.abspath(ckpt_path))),
+        subcommand,
+    )
 
     if subcommand == "test":
         from ppsurf_tpu.train.evaluate import run_test

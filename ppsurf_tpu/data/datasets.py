@@ -17,6 +17,7 @@ import dataclasses
 import os
 import threading
 import typing
+import weakref
 
 import numpy as np
 
@@ -297,7 +298,20 @@ class _PrefetchIterator:
         )
         self._futures = collections.deque()
         self._pos = 0
+        # abandoning the iterator mid-epoch (break, exception, early exit)
+        # must not leak the non-daemon worker pool + in-flight loads
+        self._finalizer = weakref.finalize(
+            self, _PrefetchIterator._shutdown_pool, self._pool
+        )
         self._top_up()
+
+    @staticmethod
+    def _shutdown_pool(pool):
+        pool.shutdown(wait=False, cancel_futures=True)
+
+    def close(self):
+        self._futures.clear()
+        self._finalizer()
 
     def _top_up(self):
         while (
@@ -314,7 +328,7 @@ class _PrefetchIterator:
 
     def __next__(self):
         if not self._futures:
-            self._pool.shutdown(wait=False)
+            self._finalizer()
             raise StopIteration
         batch = self._futures.popleft().result()
         self._top_up()

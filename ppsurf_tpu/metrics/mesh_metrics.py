@@ -2,7 +2,9 @@
 
 Parity targets: reference `source/base/metrics.py:120-324`. Differences in
 mechanism (not semantics):
-- nearest neighbors come from scipy's cKDTree on host (replacing pykdtree);
+- nearest neighbors route through the single proximity layer
+  (`metrics.proximity.nn_query`: native C++ kd-tree, scipy as explicit
+  fallback — replacing pykdtree);
 - inside/outside tests use the on-device winding number
   (`ppsurf_tpu.metrics.winding`) instead of pysdf — both are sign-oriented
   tests on near-watertight meshes;
@@ -23,16 +25,9 @@ from ppsurf_tpu.metrics.winding import points_inside
 
 
 def _nn_dists(pts: np.ndarray, queries: np.ndarray) -> np.ndarray:
-    from ppsurf_tpu import native
+    from ppsurf_tpu.metrics.proximity import nn_query
 
-    if native.available():
-        dists, _ = native.NativeKdTree(pts).query(queries, k=1)
-        return dists[:, 0]
-    from scipy.spatial import cKDTree
-
-    tree = cKDTree(pts)
-    dists, _ = tree.query(queries, k=1)
-    return dists
+    return nn_query(pts, queries, k=1)[0][:, 0]
 
 
 def chamfer_distance(
@@ -119,9 +114,9 @@ def normal_error_approx(
     samples_gt, fi_gt = sample_surface(mesh_ref, num_samples, rng, return_face_index=True)
     normals_gt = mesh_ref.face_normals()[fi_gt]
 
-    from scipy.spatial import cKDTree
+    from ppsurf_tpu.metrics.proximity import nn_query
 
-    _, ids = cKDTree(samples_gt).query(samples_rec, k=1)
+    ids = nn_query(samples_gt, samples_rec, k=1)[1][:, 0]
     cosine = np.clip(np.einsum("ij,ij->i", normals_rec, normals_gt[ids]), -1, 1)
     return file_in, file_ref, float(np.nanmean(np.arccos(cosine)))
 

@@ -16,6 +16,29 @@ import numpy as np
 from ppsurf_tpu.io.ply import Mesh
 
 
+def nn_query(
+    pts: np.ndarray, queries: np.ndarray, k: int = 1
+) -> typing.Tuple[np.ndarray, np.ndarray]:
+    """(dists (Q, k), ids (Q, k)) nearest neighbors of `queries` in `pts`.
+
+    The single host-side proximity entry all metrics route through (parity:
+    the reference funnels NN queries through one layer,
+    `source/base/proximity.py:40-81` — there pykdtree/scipy, here the
+    first-party C++ kd-tree with scipy as the explicit fallback)."""
+    from ppsurf_tpu import native
+
+    if native.available():
+        return native.NativeKdTree(np.ascontiguousarray(pts, np.float32)).query(
+            np.ascontiguousarray(queries, np.float32), k=k
+        )
+    from scipy.spatial import cKDTree
+
+    dists, ids = cKDTree(pts).query(queries, k=k)
+    if k == 1:
+        dists, ids = dists[:, None], ids[:, None]
+    return dists, ids
+
+
 def closest_point_on_triangles(
     points: np.ndarray, tri_a: np.ndarray, tri_b: np.ndarray, tri_c: np.ndarray
 ) -> np.ndarray:
@@ -91,19 +114,7 @@ def get_closest_point_on_mesh(
     centroids = v[f].mean(axis=1)
     k = min(k_candidates, f.shape[0])
 
-    from ppsurf_tpu import native
-
-    if native.available():
-        _, cand = native.NativeKdTree(centroids.astype(np.float32)).query(
-            points.astype(np.float32), k=k
-        )
-    else:
-        from scipy.spatial import cKDTree
-
-        _, cand = cKDTree(centroids).query(points, k=k)
-        cand = np.atleast_2d(cand)
-        if cand.shape[0] != points.shape[0]:
-            cand = cand.T
+    _, cand = nn_query(centroids, points, k=k)
 
     n, kk = cand.shape
     pts_rep = np.repeat(points.astype(np.float64), kk, axis=0)

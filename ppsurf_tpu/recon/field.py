@@ -307,7 +307,11 @@ def _make_refine_cand_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
                        - cpts.astype(jnp.float32)) ** 2, -1)
         tau_k = jnp.sqrt(d2m[:, spec_k - 1])
         tau_c = jnp.sqrt(d2m[:, kc - 1])
-        cert = (tau_k + r) <= (tau_c - r)
+        # strict inequality with a relative margin: tau here is direct
+        # (m-p)^2 f32 math while candidate membership came from the kNN
+        # kernel's matmul-based distances, so absorb metric-rounding gaps
+        # and exact ties instead of admitting them
+        cert = (tau_k + r) < (tau_c - r) * (1.0 - 1e-6)
 
         def step(carry, _):
             v, v1, v2, p1, p2 = carry
@@ -553,6 +557,8 @@ class FieldEvaluator:
             if (
                 self._projected
                 and spec.network_latent_size >= 128
+                # kernel block specs tile the latent dim by whole lanes
+                and spec.network_latent_size % 128 == 0
                 and _os.environ.get("PPSURF_FUSED_DECODER", "1") != "0"
             ):
                 self._fused |= 1
@@ -623,6 +629,33 @@ class FieldEvaluator:
                 self(np.zeros((g * self.chunk, 3), np.float32))
 
     def __call__(self, queries: np.ndarray) -> np.ndarray:
+        """Evaluate with the same sticky runtime downgrade policy as
+        refinement: a Mosaic compile/execute failure of the fused Pallas
+        kernels (an unusual latent size, a toolchain regression) clears the
+        fused bits, rebuilds the chunk programs on the plain XLA path, and
+        retries — it must never take down a reconstruction."""
+        try:
+            return self._call_impl(queries)
+        except Exception:
+            if not self._fused:
+                raise
+            import sys
+            import traceback
+
+            print(
+                "# fused eval kernels failed; downgrading to the XLA path:",
+                file=sys.stderr,
+            )
+            traceback.print_exc()
+            self._fused = 0
+            self._eval_chunk = _make_eval_chunk(
+                self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
+                self._spec_k, self.shared_cloud, self.knn_tile,
+                self.transform, self._projected, self._fused,
+            )
+            return self._call_impl(queries)
+
+    def _call_impl(self, queries: np.ndarray) -> np.ndarray:
         """queries (M, 3) -> field (M,), evaluated in padded static chunks.
 
         Queries are Morton-sorted (in the cloud's code box) before

@@ -92,7 +92,10 @@ def _build_tables() -> typing.Tuple[np.ndarray, np.ndarray, np.ndarray]:
         tris: typing.List[typing.Tuple[int, int, int]] = []
         remaining = dict(nxt)
         while remaining:
-            start = next(iter(remaining))
+            # lowest edge id: the SAME deterministic fan apex the native
+            # table builder picks (ppsurf_native.cpp McTables) — both paths
+            # must emit identical triangles, not just equivalent ones
+            start = min(remaining)
             cycle = [start]
             cur = remaining.pop(start)
             while cur != start:

@@ -23,6 +23,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (production-size configs)"
+    )
+
+
 ABC_MINIMAL = "/root/reference/datasets/abc_minimal"
 
 

@@ -114,3 +114,21 @@ def test_find_last_checkpoint(tmp_path):
     os.makedirs(os.path.join(root, "version_0", "checkpoints", "last"))
     os.makedirs(os.path.join(root, "version_2", "checkpoints", "last"))
     assert find_last_checkpoint(root).endswith("version_2/checkpoints/last")
+
+
+def test_save_resolved_config(tmp_path):
+    """Every subcommand snapshots the resolved config into the run dir
+    (reference `source/cli.py:50` save_config_kwargs overwrite=True)."""
+    from ppsurf_tpu.cli import save_resolved_config
+
+    cfg = {"model": {"init_args": {"k": 64}}, "seed_everything": 42}
+    vdir = tmp_path / "models" / "ppsurf" / "version_0"
+    save_resolved_config(cfg, str(vdir), "fit")
+    save_resolved_config(cfg, str(vdir), "predict")
+    with open(vdir / "config.yaml") as fp:
+        assert yaml.safe_load(fp) == cfg
+    assert (vdir / "config_predict.yaml").is_file()
+    # overwrite must not fail (reference passes overwrite=True)
+    save_resolved_config({"a": 1}, str(vdir), "fit")
+    with open(vdir / "config.yaml") as fp:
+        assert yaml.safe_load(fp) == {"a": 1}

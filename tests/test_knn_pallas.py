@@ -132,3 +132,29 @@ def test_banded_forced_fallback():
     )
     np.testing.assert_allclose(got, brute_force(pts, qs, k), atol=1e-5)
     assert np.asarray(okf)[1].any(), "expected at least one fallback tile"
+
+
+def test_k192_banded_exact():
+    """The refinement candidate path queries k=192 (REFINE_CAND_K) with
+    kb=2*KNN_BAND — above the k<=128 range every other test exercises
+    (ADVICE r3 medium: the k>128 extraction loop had no coverage)."""
+    rng = np.random.RandomState(5)
+    n, q, k, tq, kb = 4096, 256, 192, 128, 24
+    pts = rng.rand(n, 3).astype(np.float32)
+    qs = rng.rand(q, 3).astype(np.float32)
+    from ppsurf_tpu.ops.morton import morton_order
+
+    pts = pts[morton_order(pts, pts.min(0), pts.max(0))]
+    qs = qs[morton_order(qs, pts.min(0), pts.max(0))]
+    ids = np.asarray(
+        kp.knn_pallas_single(
+            jnp.asarray(pts), jnp.asarray(qs), None, k, tq=tq, kb=kb
+        )
+    )
+    assert ids.shape == (q, k)
+    assert all(len(np.unique(r)) == k for r in ids[::16])
+    d = np.linalg.norm(qs[:, None, :] - pts[ids], axis=-1)
+    # nearest-first: required by the patch-prefix contract
+    assert np.all(np.diff(d, axis=1) >= -1e-6)
+    np.testing.assert_allclose(np.sort(d, axis=1), brute_force(pts, qs, k),
+                               atol=1e-5)

@@ -15,8 +15,11 @@ TPU-native engine (`recon/engine.py` + `recon/field.py`):
   3. bisection-refined vertices within 1e-4 when each stack's field
      drives the same refinement rule.
 
-Small config (N=2000, res 65, latent 64, k=16, P=10) keeps the CPU
-runtime in tens of seconds; the math is size-independent.
+Two configs: "small" (N=2000, res 65, latent 64, k=16, P=10) keeps the
+CPU runtime in tens of seconds; "production" (slow-marked) runs the
+flagship 50NN network shape — latent 256, k=64, P=50, res 129, projected-
+latents path active — so parity evidence covers the production program
+shapes, not just the mini ones.
 """
 from __future__ import annotations
 
@@ -108,9 +111,28 @@ def _normalize_patches_np(pts_local_ms, pts_query_ms):
     return ps / radius[:, None, None]
 
 
-@pytest.fixture(scope="module")
-def stacks():
+CONFIGS = {
+    # latent, k, P (num_pts_local), N points, resolution, blend analytic SDF
+    "small": dict(latent=64, k=16, n_local=10, n_pts=2000, res=65,
+                  blend=None),
+    # the flagship 50NN network shape (reference configs/ppsurf.yaml /
+    # poco.yaml defaults: latent 256, k 64, P 50) at res 129. Random
+    # weights produce a noise field whose region growing would evaluate
+    # the full volume; blending a small network term over an analytic
+    # sphere keeps the band realistic while the full network (projected
+    # latents path included) still runs for every query on both stacks.
+    "production": dict(latent=256, k=64, n_local=50, n_pts=10000, res=129,
+                       blend=0.05),
+}
+
+
+@pytest.fixture(
+    scope="module",
+    params=["small", pytest.param("production", marks=pytest.mark.slow)],
+)
+def stacks(request):
     """Build both stacks with identical transplanted weights."""
+    cfg = CONFIGS[request.param]
     poco_utils = _load_poco_utils()
     _, poco_model_mod, pps_ref = (
         sys.modules["source.base.nn"],
@@ -118,21 +140,43 @@ def stacks():
         sys.modules["source.ppsurf_model"],
     )
 
-    latent, k, n_local = 64, 16, 10
+    latent, k, n_local = cfg["latent"], cfg["k"], cfg["n_local"]
     rng = np.random.RandomState(7)
 
-    # cloud: a thickened random ring so the field has interesting topology
+    # cloud: a real ABC shape subsample so the field has interesting topology
     from ppsurf_tpu.io import load_ply
 
     pts = load_ply(
         f"{REF}/datasets/abc_minimal/04_pts_vis/"
         "00010009_d97409455fa543b3a224250f_trimesh_000.xyz.ply"
     ).vertices
-    pts = pts[rng.choice(pts.shape[0], 2000, replace=False)].astype(
+    pts = pts[rng.choice(pts.shape[0], cfg["n_pts"], replace=False)].astype(
         np.float32
     )
     n = pts.shape[0]
     latents_np = (rng.rand(n, latent).astype(np.float32) - 0.5) * 2.0
+
+    # identical analytic blend on BOTH stacks (f32 sphere SDF): scales the
+    # random-weight network term down so the sign boundary is a wiggled
+    # sphere instead of full-volume noise
+    blend_w = cfg["blend"]
+    sphere_r = float(0.5 * np.abs(pts).max())
+
+    def np_blend(vals, q):
+        if blend_w is None:
+            return vals
+        return np.float32(blend_w) * vals + (
+            np.sqrt(np.sum(q.astype(np.float32) ** 2, axis=-1)) - sphere_r
+        )
+
+    if blend_w is None:
+        jnp_blend = None
+    else:
+        def jnp_blend(vals, q):
+            return jnp.float32(blend_w) * vals + (
+                jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=-1))
+                - sphere_r
+            )
 
     torch.manual_seed(3)
     t = trp.randomize(
@@ -170,7 +214,9 @@ def stacks():
             occ = t.from_latent(d)
         occ = torch.nn.functional.softmax(occ, dim=1)
         occ = occ[:, 0] - occ[:, 1]
-        return occ.squeeze(0).detach().cpu().numpy()
+        vals = occ.squeeze(0).detach().cpu().numpy()
+        q = d["pts_query"][0].detach().cpu().numpy()  # (Q, 3)
+        return np_blend(vals, q)
 
     def torch_field(q: np.ndarray) -> np.ndarray:
         out = []
@@ -208,38 +254,35 @@ def stacks():
     )
     evaluator = FieldEvaluator(
         net, spec, {"params": params, "batch_stats": stats}, pts,
-        latents_np, pts_raw=pts,
+        latents_np, pts_raw=pts, transform=jnp_blend,
     )
 
     return types.SimpleNamespace(
         poco_utils=poco_utils, torch_field=torch_field,
         get_pts_local_ps=get_pts_local_ps,
         predict_from_latent=predict_from_latent, latent_base=latent_base,
-        pts=pts, ours_field=evaluator,
+        pts=pts, ours_field=evaluator, res=cfg["res"], n_local=n_local,
     )
-
-
-RES = 65
 
 
 def _our_volume(s):
     from ppsurf_tpu.recon.engine import create_volume_region_growing
 
     return create_volume_region_growing(
-        lambda q: s.ours_field(q), s.pts, RES, padding=1, dilation_size=2
+        lambda q: s.ours_field(q), s.pts, s.res, padding=1, dilation_size=2
     )
 
 
 def _ref_volume(s):
     bmin = s.pts.min()
     bmax = s.pts.max()
-    step = (bmax - bmin) / (RES - 1)
+    step = (bmax - bmin) / (s.res - 1)
     bmin_pad = bmin - 1 * step
     pts_ids = ((s.pts - bmin) / step + 1).astype(np.int32)
     vol = s.poco_utils._create_volume(
         s.get_pts_local_ps, s.predict_from_latent, 2, bmin_pad,
-        dict(s.latent_base), 10000, 10, 1.0, 1, "x", _ProgBarStub(),
-        pts_ids, RES, step,
+        dict(s.latent_base), 10000, s.n_local, 1.0, 1, "x", _ProgBarStub(),
+        pts_ids, s.res, step,
     )
     return vol, step, bmin_pad
 
@@ -286,6 +329,12 @@ def test_refined_vertex_parity(stacks):
 
     verts, faces = marching_cubes(vol, 0.0)
     assert verts.shape[0] > 100
+    if verts.shape[0] > 8192:
+        # vertices refine independently; a fixed subsample is full evidence
+        # at a fraction of the torch-side CPU cost (production config)
+        sel = np.random.RandomState(0).choice(verts.shape[0], 8192,
+                                              replace=False)
+        verts = verts[sel]
 
     # same refinement rule (reference poco_utils.py:111-168 ==
     # engine.refine_vertices, established by test_recon), each stack's

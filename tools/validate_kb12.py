@@ -42,15 +42,16 @@ def main() -> int:
     q = q[morton_order(q, lo, hi)]
     pd, qd = jnp.asarray(pts), jnp.asarray(q)
 
-    print("brute force on host (chunked)...", flush=True)
-    ref_d = {}
-    for k in (50, 64, 192):
-        out = np.empty((nq, k), np.float32)
-        for s in range(0, nq, 2048):
-            d2 = ((q[s:s + 2048, None, :] - pts[None]) ** 2).sum(-1)
-            out[s:s + 2048] = np.sort(d2, axis=1)[:, :k]
-        ref_d[k] = out
-        print(f"  k={k} done", flush=True)
+    print("brute force on host (chunked, one pass)...", flush=True)
+    kmax = 192
+    out = np.empty((nq, kmax), np.float32)
+    for s in range(0, nq, 2048):
+        d2 = ((q[s:s + 2048, None, :] - pts[None]) ** 2).sum(-1)
+        # partial selection of the kmax smallest, then sort only those
+        part = np.partition(d2, kmax - 1, axis=1)[:, :kmax]
+        out[s:s + 2048] = np.sort(part, axis=1)
+    ref_d = {k: out[:, :k] for k in (50, 64, 192)}
+    print("  done", flush=True)
 
     ok_all = True
     for k, kbs in ((50, (12, 16)), (64, (12, 16)), (192, (24,))):
