@@ -46,8 +46,9 @@ PAD_PENALTY = 1e12  # w = sqrt(penalty); finite so 0*w stays 0 in matmuls
 
 
 def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
-                bm_ref, blkids_ref, cand_ref, *,
-                k: int, nb: int, tq: int, kb: int, aabb: bool):
+                bm_ref, blkids_ref, cand_ref, surv_ref, *,
+                k: int, nb: int, tq: int, kb: int, aabb: bool, cull: bool,
+                wc: int = 2):
     """One query tile.
 
     q (TQ, 3); pts_cm (4, NB*S) coordinate-major; pts_blk_t (4*S, NB)
@@ -90,7 +91,29 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
         bm_ref[pl.ds(pl.multiple_of(jg * G, G), G), :] = jnp.stack(mins, axis=0)
         return 0
 
-    if aabb:
+    qxT = q[:, 0][None, :]  # (1, TQ)
+    qyT = q[:, 1][None, :]
+    qzT = q[:, 2][None, :]
+    nbrow = jax.lax.broadcasted_iota(jnp.int32, (nb, tq), 0)
+
+    def gather_block_d2(slot, bid):
+        """One-hot gather block `bid` ((TQ,) or scalar) into cand rows
+        [slot*S, slot*S + S) as recomputed exact d2. The matmul must be
+        f32/HIGHEST — see the precision note in fill_slot."""
+        onehot_t = (nbrow == bid).astype(jnp.float32)  # (NB, TQ)
+        g = jax.lax.dot_general(
+            pts_blk_t_ref[:], onehot_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (4*S, TQ): [x|y|z|w] block-major rows
+        gx = g[0 * S : 1 * S, :]
+        gy = g[1 * S : 2 * S, :]
+        gz = g[2 * S : 3 * S, :]
+        gw = g[3 * S : 4 * S, :]
+        d2 = (gx - qxT) ** 2 + (gy - qyT) ** 2 + (gz - qzT) ** 2 + gw * gw
+        cand_ref[pl.ds(pl.multiple_of(slot * S, S), S), :] = d2  # (S, TQ)
+
+    if aabb or cull:
         # ---- stage 1 (AABB variant): per-block LOWER BOUNDS instead of
         # true block minima. aabb_ref (6*nb, tq) holds pre-broadcast block
         # AABB planes (lox,loy,loz,hix,hiy,hiz); lb = squared distance of
@@ -100,9 +123,6 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
         # stage-2 selection + stage-3 certificate stay exact; only the
         # FALLBACK needs true minima (recomputed there) because its
         # "k blocks each contain a closer point" argument needs them.
-        qxT = q[:, 0][None, :]  # (1, TQ)
-        qyT = q[:, 1][None, :]
-        qzT = q[:, 2][None, :]
         zero = jnp.float32(0)
         tx = jnp.maximum(
             jnp.maximum(aabb_ref[0 * nb : 1 * nb, :] - qxT,
@@ -114,7 +134,59 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
             jnp.maximum(aabb_ref[2 * nb : 3 * nb, :] - qzT,
                         qzT - aabb_ref[5 * nb : 6 * nb, :]), zero)
         bm_ref[:] = tx * tx + ty * ty + tz * tz
-    else:
+
+    nsurv = jnp.int32(nb // G)
+    if cull:
+        # ---- stage 1 (CULL variant): the brute pass runs only for block
+        # GROUPS that can matter. tau_hat is a per-query UPPER bound on the
+        # k-th NN distance (the k-th smallest over any >= k points is one):
+        # computed from `wc` seed blocks picked nearest-to-the-tile by the
+        # AABB bounds. A group is culled when every query's box lower bound
+        # exceeds its tau_hat — no point inside can enter any top-k. Culled
+        # groups keep bm = lb (still a valid lower bound, so stage 2, the
+        # certificate, and the fallback stay sound); moreover any block
+        # holding a true neighbor has bm <= tau_k <= tau_hat < every culled
+        # lb, so culling can never displace a true-NN block from the band.
+        # Morton-sorted query tiles are spatially compact, so most of the
+        # cloud culls (measured on ABC clouds: see tools/profile_knn_stages).
+        sc = jnp.max(bm_ref[:], axis=1, keepdims=True)  # (nb, 1) tile score
+        row1 = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+        for w in range(wc):
+            m = jnp.min(sc)
+            bid = jnp.min(jnp.where(sc <= m, row1, nb))  # scalar block id
+            gather_block_d2(w, bid)
+            sc = jnp.where(row1 == bid, jnp.float32(PAD_PENALTY * 4), sc)
+
+        def tau_pass(i, carry):
+            c, _ = carry
+            m = jnp.min(c, axis=0)  # (TQ,)
+            nxt = jnp.where(c <= m[None, :], jnp.float32(PAD_PENALTY * 4), c)
+            return nxt, m
+
+        _, tau_hat = jax.lax.fori_loop(
+            0, k, tau_pass,
+            (cand_ref[0 : wc * S, :], jnp.zeros((tq,), jnp.float32)),
+        )
+        # ties inside tau_pass are masked together, so tau_hat is the k-th
+        # DISTINCT candidate distance >= the k-th order statistic: looser,
+        # still a valid upper bound.
+        lbv = bm_ref[:]  # (nb, TQ): still the box lower bounds
+        survs = []
+        for g in range(nb // G):  # static slices, unrolled
+            gm = jnp.min(lbv[g * G : (g + 1) * G, :], axis=0)  # (TQ,)
+            survs.append(jnp.any(gm <= tau_hat).astype(jnp.int32))
+            surv_ref[g] = survs[-1]
+        nsurv = sum(survs, jnp.int32(0))
+
+        def brute_if_alive(jg, _):
+            @pl.when(surv_ref[jg] != 0)
+            def _():
+                block_min_group(jg, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, nb // G, brute_if_alive, 0)
+    elif not aabb:
         jax.lax.fori_loop(0, nb // G, block_min_group, 0)
 
     # ---- stage 2: best blocks per query ----
@@ -137,10 +209,6 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
     # transposed throughout: candidates live as (kb*S, TQ) so every
     # loop-carried store is an aligned dynamic-*sublane* row store —
     # dynamic lane-offset stores were observed to miscompile under Mosaic.
-    nbrow = jax.lax.broadcasted_iota(jnp.int32, (nb, tq), 0)
-    qxT = q[:, 0][None, :]  # (1, TQ)
-    qyT = q[:, 1][None, :]
-    qzT = q[:, 2][None, :]
     srow_kb = jax.lax.broadcasted_iota(jnp.int32, (kb_full, tq), 0)
 
     def make_fill_slot(blkids_all):  # blkids_all: (kb_full, TQ) value
@@ -153,18 +221,7 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
         # dots) silently lost low mantissa bits *inside this kernel* on
         # v5e, despite being exact in an isolated pallas test — do not
         # change this without re-running the large-N exactness check.
-        onehot_t = (nbrow == bid[None, :]).astype(jnp.float32)  # (NB, TQ)
-        g = jax.lax.dot_general(
-            pts_blk_t_ref[:], onehot_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (4*S, TQ): [x|y|z|w] block-major rows
-        gx = g[0 * S : 1 * S, :]
-        gy = g[1 * S : 2 * S, :]
-        gz = g[2 * S : 3 * S, :]
-        gw = g[3 * S : 4 * S, :]
-        d2 = (gx - qxT) ** 2 + (gy - qyT) ** 2 + (gz - qzT) ** 2 + gw * gw
-        cand_ref[pl.ds(pl.multiple_of(s * S, S), S), :] = d2  # (S, TQ)
+        gather_block_d2(s, bid[None, :])
         return 0
 
       return fill_slot
@@ -234,7 +291,8 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
             jnp.broadcast_to(
                 jnp.logical_not(tile_ok).astype(jnp.int32)[None, None], (1, tq)
             ),
-            jnp.zeros((6, tq), jnp.int32),
+            jnp.broadcast_to(nsurv[None, None], (1, tq)),  # cull diagnostics
+            jnp.zeros((5, tq), jnp.int32),
         ],
         axis=0,
     )
@@ -244,9 +302,10 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
         # redo with the unconditionally exact block set. The exactness
         # argument (k selected blocks each contain an element <= any
         # element of an unselected block) needs TRUE block minima — under
-        # the AABB stage 1 bm_ref holds lower bounds, so recompute them
-        # here (the brute pass runs only for certificate-failing tiles).
-        if aabb:
+        # the AABB/CULL stage 1 bm_ref holds lower bounds (for culled
+        # groups), so recompute them all here (the brute pass runs only
+        # for certificate-failing tiles).
+        if aabb or cull:
             jax.lax.fori_loop(0, nb // G, block_min_group, 0)
         # bm_ref was never mutated by stage 2 (it carries by value), so
         # re-picking from scratch rebuilds blkids rows 0..kb1 (identically
@@ -273,11 +332,13 @@ def default_tile(k: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tq", "kb", "return_stats", "interpret", "aabb"),
+    static_argnames=("k", "tq", "kb", "return_stats", "interpret", "aabb",
+                     "cull"),
 )
 def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
                       kb: int = 0, return_stats: bool = False,
-                      interpret: bool = False, aabb: bool = False):
+                      interpret: bool = False, aabb: bool = False,
+                      cull: bool = False):
     # aabb=True replaces the brute stage 1 with per-block AABB lower
     # bounds (~100x fewer stage-1 ops, exactness preserved through the
     """Exact kNN ids (Q, k) for one cloud.
@@ -300,6 +361,15 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
     rate was 56-100% (vs 0% with true minima), so the brute pass ends up
     running anyway. Kept (tested-exact) for experimentation on clouds
     where blocks separate better; default OFF.
+
+    cull=True keeps the strong true-min certificate but SKIPS the brute
+    stage-1 pass for block groups that provably cannot matter: a cheap
+    per-query upper bound tau_hat on the k-th NN distance (k-th smallest
+    distance to 2 seed blocks picked by the AABB bounds) culls every
+    group whose box lower bound exceeds tau_hat for all queries in the
+    tile. Culled groups keep their (valid) lower bounds as bm, so every
+    downstream exactness argument is unchanged; on Morton-sorted query
+    tiles most of the cloud culls. Banded mode only (like aabb).
     """
     n = points.shape[0]
     pad_n = (-n) % (8 * S)  # pad to 8-block groups for the stage-1 matmul
@@ -326,11 +396,13 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
     # the banded certificate + fallback; the full-band path's exactness
     # argument needs true minima, so it keeps the brute stage 1
     aabb = aabb and kb1 < kb_full
+    # culling shares the banded-only constraint; tiny clouds gain nothing
+    cull = cull and not aabb and kb1 < kb_full and nb >= 16
 
     # per-block AABBs (6, nb) -> pre-broadcast (6*nb, tq) so the kernel's
     # stage-1 math is pure (nb, tq) elementwise ops with zero relayouts.
     # Fully-padded blocks get +/-BIG planes -> lb ~ BIG^2, never selected.
-    if aabb:
+    if aabb or cull:
         BIG = jnp.float32(1e15)
         pts_b = pts.reshape(nb, S, 3)
         validb = valid_p.reshape(nb, S, 1)
@@ -345,7 +417,8 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
 
     grid = qp.shape[0] // tq
     out, okf = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, nb=nb, tq=tq, kb=kb1, aabb=aabb),
+        functools.partial(_knn_kernel, k=k, nb=nb, tq=tq, kb=kb1, aabb=aabb,
+                          cull=cull),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tq, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -365,6 +438,7 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
             pltpu.VMEM((nb, tq), jnp.float32),
             pltpu.VMEM((kb_full, tq), jnp.int32),
             pltpu.VMEM((kb_full * S, tq), jnp.float32),
+            pltpu.SMEM((nb // 8,), jnp.int32),  # per-group survive flags
         ],
         # the banded kernel's primary + fallback candidate buffers and the
         # double-buffered full-cloud inputs exceed XLA's default 16 MiB

@@ -158,3 +158,38 @@ def test_k192_banded_exact():
     assert np.all(np.diff(d, axis=1) >= -1e-6)
     np.testing.assert_allclose(np.sort(d, axis=1), brute_force(pts, qs, k),
                                atol=1e-5)
+
+
+def test_cull_exact_and_engages():
+    """tau_hat group culling (cull=True): exact results, valid certificate,
+    and at least some groups actually culled on a dense surface cloud
+    (interpret mode; device validation via tools/validate_kb12.py)."""
+    rng = np.random.RandomState(4)
+    n, q, k, tq, kb = 16384, 2048, 16, 128, 6
+    u = rng.randn(n, 3).astype(np.float32)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pts = (u * (1 + 0.05 * np.sin(7 * u[:, :1]) * np.cos(5 * u[:, 1:2])))
+    pts = pts.astype(np.float32)
+    uq = rng.randn(q, 3).astype(np.float32)
+    uq /= np.linalg.norm(uq, axis=1, keepdims=True)
+    qs = (uq * (1 + 0.05 * rng.randn(q, 1))).astype(np.float32)
+    from ppsurf_tpu.ops.morton import morton_order
+
+    pts = pts[morton_order(pts, pts.min(0), pts.max(0))]
+    qs = qs[morton_order(qs, pts.min(0), pts.max(0))]
+
+    ids, okf = kp.knn_pallas_single(
+        jnp.asarray(pts), jnp.asarray(qs), None, k, tq=tq, kb=kb,
+        cull=True, return_stats=True, interpret=True,
+    )
+    ids, okf = np.asarray(ids), np.asarray(okf)
+    assert all(len(np.unique(r)) == k for r in ids[::64])
+    d = np.linalg.norm(qs[:, None, :] - pts[ids], axis=-1)
+    assert np.all(np.diff(d, axis=1) >= -1e-6)
+    np.testing.assert_allclose(np.sort(d, axis=1), brute_force(pts, qs, k),
+                               atol=1e-5)
+    surv = okf[2].reshape(-1, tq)[:, 0]
+    ngroups = (n // 128) // 8
+    assert surv.max() <= ngroups
+    # dense Morton-sorted tiles on this cloud must cull a decent fraction
+    assert surv.mean() < 0.8 * ngroups, surv.tolist()
