@@ -88,6 +88,13 @@ def run_bench() -> int:
         from ppsurf_tpu.cli import find_last_checkpoint, load_checkpoint_variables
 
         ckpt = find_last_checkpoint("models/ppsurf_mini")
+        if ckpt is None:
+            # committed inference-only snapshot survives across rounds
+            # (models/ is gitignored; see tools/export_infer_ckpt.py)
+            npz = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "models_pretrained", "ppsurf_mini_infer.npz")
+            ckpt = npz if os.path.isfile(npz) else None
         if ckpt is not None:
             try:
                 variables = load_checkpoint_variables(ckpt)

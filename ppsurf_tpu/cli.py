@@ -201,7 +201,12 @@ def _none_if_auto(v):
 
 
 def load_checkpoint_variables(ckpt_path: str) -> dict:
-    """Load {'params', 'batch_stats'} from an orbax checkpoint dir."""
+    """Load {'params', 'batch_stats'} from an orbax checkpoint dir, or from
+    an inference-only .npz snapshot (convert/infer_npz.py)."""
+    if ckpt_path.endswith(".npz"):
+        from ppsurf_tpu.convert.infer_npz import load_infer_npz
+
+        return load_infer_npz(ckpt_path)
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -313,11 +318,13 @@ def main(argv=None, default_configs=()):
         )
     variables = load_checkpoint_variables(ckpt_path)
     # snapshot into the run dir the checkpoint came from
-    # (.../version_{v}/checkpoints/<ckpt> -> .../version_{v})
-    save_resolved_config(
-        cfg, os.path.dirname(os.path.dirname(os.path.abspath(ckpt_path))),
-        subcommand,
-    )
+    # (.../version_{v}/checkpoints/<ckpt> -> .../version_{v}); npz
+    # snapshots are repo artifacts, not run dirs — skip those
+    if not ckpt_path.endswith(".npz"):
+        save_resolved_config(
+            cfg, os.path.dirname(os.path.dirname(os.path.abspath(ckpt_path))),
+            subcommand,
+        )
 
     if subcommand == "test":
         from ppsurf_tpu.train.evaluate import run_test

@@ -132,3 +132,25 @@ def test_save_resolved_config(tmp_path):
     save_resolved_config({"a": 1}, str(vdir), "fit")
     with open(vdir / "config.yaml") as fp:
         assert yaml.safe_load(fp) == {"a": 1}
+
+
+def test_load_checkpoint_variables_npz(tmp_path):
+    """Inference-only npz snapshots (tools/export_infer_ckpt.py) restore
+    the nested variables tree with f16 kernels widened back to f32."""
+    import numpy as np
+
+    from ppsurf_tpu.cli import load_checkpoint_variables
+
+    p = tmp_path / "snap.npz"
+    np.savez_compressed(
+        p,
+        **{
+            "params/enc/fc/kernel": np.ones((4, 4), np.float16),
+            "params/enc/fc/bias": np.zeros((4,), np.float32),
+            "batch_stats/norm/mean": np.full((1,), 2.0, np.float32),
+        },
+    )
+    v = load_checkpoint_variables(str(p))
+    assert v["params"]["enc"]["fc"]["kernel"].dtype == np.float32
+    assert v["params"]["enc"]["fc"]["bias"].shape == (4,)
+    assert float(v["batch_stats"]["norm"]["mean"][0]) == 2.0
