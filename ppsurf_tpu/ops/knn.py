@@ -108,9 +108,10 @@ def _pad_points(points: Array, valid_n: typing.Optional[Array]):
 def _use_pallas(k: int, return_dists: bool) -> bool:
     """Dispatch to the fused Pallas kernel on TPU (ids-only, k <= 256).
 
-    k > 128 uses tq=128 tiles (default_tile); the fallback candidate
-    scratch is kb_full*S*tq*4 B = 12.6 MB at k=192 — comfortably inside
-    the raised VMEM cap. 256 is a safety bound, not a measured cliff.
+    Tile sizes come from default_tile (tq=512 at k<=64, 256 at k<=192);
+    the fallback candidate scratch is kb_full*S*tq*4 B = 25.2 MB at
+    k=192/tq=256 — inside the raised VMEM cap. 256 is a safety bound,
+    not a measured cliff.
     """
     try:
         backend = jax.default_backend()

@@ -317,17 +317,75 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
         extract(kb_full, blkids2, need_tau=False)
 
 
+def _topk_rows_kernel(d2_ref, out_ref, *, k: int, kc: int, tq: int):
+    """One column tile: positions of the k smallest of kc rows per column,
+    ascending, ties broken by lowest position — the `extract` pattern of
+    the kNN kernel (min + masked-iota argmin + mask), which matches
+    `lax.top_k(-d2, k)[1]` semantics exactly."""
+    crow = jax.lax.broadcasted_iota(jnp.int32, (kc, tq), 0)
+
+    def pick(i, cand):
+        m = jnp.min(cand, axis=0, keepdims=True)  # (1, TQ)
+        pos = jnp.min(jnp.where(cand <= m, crow, kc), axis=0)  # (TQ,)
+        out_ref[i, :] = pos
+        return jnp.where(crow == pos[None, :], jnp.float32(PAD_PENALTY * 4),
+                         cand)
+
+    jax.lax.fori_loop(0, k, pick, d2_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tq", "interpret"))
+def topk_rows_pallas(d2t, k: int, tq: int = 512, interpret: bool = False):
+    """Per-column k-smallest positions over a small row count.
+
+    d2t: (kc, C) f32 — kc candidate distances per query (column-major so
+    every extraction pass is a cross-sublane reduction, the layout the kNN
+    kernel's stage 3 already proved out on Mosaic). Returns (k, C) int32
+    positions in [0, kc), ascending by (value, position) — bit-identical
+    to `jax.lax.top_k(-d2, k)[1].T`.
+
+    Exists because XLA lowers top_k over (C, 192) to a full variadic sort:
+    62 ms per 50k x 192 call on v5e, called once per bisection iteration
+    by the candidate refinement (tools/ablate_refine.py). This kernel's k
+    extraction passes over a (192, tq) VMEM block are ~2 ms.
+    """
+    kc, c = d2t.shape
+    pad_r = (-kc) % 8  # sublane multiple; pad rows never win the min
+    pad_c = (-c) % tq
+    d2p = jnp.pad(d2t, ((0, pad_r), (0, pad_c)),
+                  constant_values=jnp.float32(PAD_PENALTY * 2))
+    kcp = kc + pad_r
+    grid = (c + pad_c) // tq
+    out = pl.pallas_call(
+        functools.partial(_topk_rows_kernel, k=k, kc=kcp, tq=tq),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((kcp, tq), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, tq), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, c + pad_c), jnp.int32),
+        interpret=interpret,
+    )(d2p)
+    return out[:, :c]
+
+
 def default_tile(k: int) -> int:
     """Query-tile size that keeps the candidate scratch inside VMEM.
 
     Must be a multiple of 128 (the transposed output's lane width). The
     kernel is per-op-overhead-bound (many small sequential extraction
     passes), so bigger tiles amortize it: tq=256 measured 3.9x faster than
-    tq=128 at k=64/kb=16 on v5e (53 ms vs 205 ms for 50k x 60k). The cand
-    scratch is k*S*tq*4 bytes — fine at k<=64 under the raised VMEM cap,
-    but k>64 (e.g. 200-NN patch ablations) stays at 128.
+    tq=128 at k=64/kb=16 on v5e (53 ms vs 205 ms for 50k x 60k), and
+    tq=512 another ~15% over tq=256 at k=64/kb=12 (r4, same-window,
+    transfer-size-matched). The cand scratch is k*S*tq*4 bytes: 16.8 MB at
+    k=64/tq=512 and 25.2 MB at k=192/tq=256 — inside the raised 100 MiB
+    cap; k>192 (e.g. 200-NN patch ablations) stays at 128.
     """
-    return 256 if k <= 64 else 128
+    if k <= 64:
+        return 512
+    return 256 if k <= 192 else 128
 
 
 @functools.partial(

@@ -42,8 +42,12 @@ KNN_BAND = int(_os.environ.get("PPSURF_KNN_BAND", "12"))
 KNN_CULL = _os.environ.get("PPSURF_KNN_CULL", "0") == "1"
 # tau_hat group culling for the kNN's brute stage 1 (knn_pallas
 # docstring): skips the exact block-min pass for block groups provably
-# outside every query's k-NN radius. Default OFF until device A/B lands
-# (flip via env or here once tools/profile_knn_stages.py validates).
+# outside every query's k-NN radius. Default OFF: the r4 device A/B
+# (tools/profile_knn_stages.py) found the cull variant FAILS TO COMPILE
+# at production sizes (nb=472: Mosaic register-allocator spills 191 MB
+# of VMEM, over the 128 MB physical cap) — the unrolled per-group
+# survivor loop needs restructuring before this can ship. The sticky
+# fallbacks downgrade cleanly if enabled anyway.
 # banded-kNN block count: certificate p99 is ~9 blocks on ABC clouds
 # (60k pts, k=64 grid queries), so 12 makes in-kernel fallback rare
 # (measured 0% tiles on ABC clouds with grid queries; kb=10 hit 25% on
@@ -320,11 +324,24 @@ def _make_refine_cand_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
         # and exact ties instead of admitting them
         cert = (tau_k + r) < (tau_c - r) * (1.0 - 1e-6)
 
+        # XLA lowers lax.top_k over (C, kc) to a full variadic sort — 62 ms
+        # per iteration at C=50k (tools/ablate_refine.py), which single-
+        # handedly erased the candidate path's kNN savings. On TPU a small
+        # Pallas extraction kernel does the identical selection in ~2 ms.
+        on_tpu = jax.default_backend() not in ("cpu",)
+
+        def select_k(d2):  # (C, kc) -> positions (C, spec_k), ascending
+            if on_tpu:
+                from ppsurf_tpu.ops.knn_pallas import topk_rows_pallas
+
+                return topk_rows_pallas(d2.T, k=spec_k).T
+            return jax.lax.top_k(-d2, spec_k)[1]
+
         def step(carry, _):
             v, v1, v2, p1, p2 = carry
             d2 = jnp.sum((v[:, None, :].astype(jnp.float32)
                           - cpts.astype(jnp.float32)) ** 2, -1)  # (C, kc)
-            _, loc = jax.lax.top_k(-d2, spec_k)  # ascending distance
+            loc = select_k(d2)  # ascending distance
             ids_k = jnp.take_along_axis(ids_c, loc, axis=1)  # (C, spec_k)
             preds = body(variables, pts_all, latents, v[None],
                          pts_raw, raw_valid, proj_ids=ids_k[None])

@@ -193,3 +193,19 @@ def test_cull_exact_and_engages():
     assert surv.max() <= ngroups
     # dense Morton-sorted tiles on this cloud must cull a decent fraction
     assert surv.mean() < 0.8 * ngroups, surv.tolist()
+
+
+def test_topk_rows_matches_lax_top_k():
+    """topk_rows_pallas == lax.top_k(-d2, k)[1].T including tie order
+    (interpret mode; device A/B in tools/ablate_refine.py)."""
+    rng = np.random.RandomState(7)
+    for c, kc, k in ((700, 192, 64), (512, 100, 50), (64, 192, 192)):
+        d2 = rng.rand(c, kc).astype(np.float32) * 4.0
+        # force exact ties: top_k breaks them by lowest index
+        d2[:, 1::7] = d2[:, 0::7][:, : d2[:, 1::7].shape[1]]
+        got = np.asarray(
+            kp.topk_rows_pallas(jnp.asarray(d2.T), k=k, tq=128,
+                                interpret=True)
+        ).T
+        want = np.asarray(jax.lax.top_k(-jnp.asarray(d2), k)[1])
+        np.testing.assert_array_equal(got, want)

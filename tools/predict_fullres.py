@@ -18,6 +18,12 @@ def main() -> int:
     from ppsurf_tpu.cli import main as cli_main
     from ppsurf_tpu.eval.make_evaluation import evaluate_method_on_dataset
 
+    # trained mini checkpoint: the live orbax run dir when present, else
+    # the committed inference-only npz snapshot (models/ is gitignored and
+    # wiped between rounds; see tools/export_infer_ckpt.py)
+    ckpt = "models/ppsurf_mini/version_0/checkpoints/last"
+    if not os.path.isdir(ckpt):
+        ckpt = "models_pretrained/ppsurf_mini_infer.npz"
     base = [
         "-c", "configs/poco.yaml",
         "-c", "configs/ppsurf.yaml",
@@ -27,8 +33,7 @@ def main() -> int:
         "--model.init_args.gen_resolution_global", "257",
         "--model.init_args.rec_batch_size", "50000",
         "--model.init_args.name", "ppsurf_mini_res257",
-        # reuse the trained mini checkpoint
-        "--ckpt_path", "models/ppsurf_mini/version_0/checkpoints/last",
+        "--ckpt_path", ckpt,
     ]
     t0 = time.time()
     cli_main(["predict"] + base + sys.argv[1:])

@@ -20,6 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    # this host first-touches fresh pages at ~10 MB/s (ROADMAP): without
+    # allocator tuning the brute force's ~0.5 GB per-chunk temporaries
+    # cost minutes instead of seconds
+    from ppsurf_tpu.utils.alloc import tune_host_allocator
+
+    tune_host_allocator()
+
     import jax
     import jax.numpy as jnp
 
@@ -45,19 +52,37 @@ def main() -> int:
     print("brute force on host (chunked, one pass)...", flush=True)
     kmax = 192
     out = np.empty((nq, kmax), np.float32)
+    # GEMM formulation: |q-p|^2 = |q|^2 - 2 q.p + |p|^2. The broadcast
+    # (chunk, N, 3) difference tensor is ~1.4 GB per chunk and this host
+    # first-touches pages at ~10 MB/s (ROADMAP) — the dot stays in cache.
+    # the kernel (and `got` below) use direct f32 differences, and the
+    # comparison is atol=0 — so the GEMM only SELECTS candidates (with a
+    # tie margin), and the kept distances are recomputed with the exact
+    # same direct-f32 formula
+    p2 = (pts.astype(np.float64) ** 2).sum(-1)
+    ptsT = pts.T.astype(np.float64)
+    sel = kmax + 16
     for s in range(0, nq, 2048):
-        d2 = ((q[s:s + 2048, None, :] - pts[None]) ** 2).sum(-1)
-        # partial selection of the kmax smallest, then sort only those
-        part = np.partition(d2, kmax - 1, axis=1)[:, :kmax]
-        out[s:s + 2048] = np.sort(part, axis=1)
+        qc = q[s:s + 2048].astype(np.float64)
+        d2g = (qc ** 2).sum(-1)[:, None] - 2.0 * (qc @ ptsT) + p2[None, :]
+        cand = np.argpartition(d2g, sel - 1, axis=1)[:, :sel]
+        d2 = ((q[s:s + 2048, None, :] - pts[cand]) ** 2).sum(-1,
+                                                             dtype=np.float32)
+        out[s:s + 2048] = np.sort(d2, axis=1)[:, :kmax]
     ref_d = {k: out[:, :k] for k in (50, 64, 192)}
     print("  done", flush=True)
+
+    from ppsurf_tpu.ops.knn_pallas import default_tile
 
     ok_all = True
     for k, kbs in ((50, (12, 16)), (64, (12, 16)), (192, (24,))):
         for kb in kbs:
-            for cull in (False, True):
-                tq = 256 if k <= 64 else 128
+            # cull=True is skipped: at production nb=472 the cull variant
+            # fails to compile (Mosaic register-allocator spills 191 MB of
+            # VMEM — r4 finding, see recon/field.py KNN_CULL note), and
+            # each OOM attempt costs ~4.5 min of compile time.
+            for cull in (False,):
+                tq = default_tile(k)
                 ids, okf = knn_pallas_single(pd, qd, None, k, tq=tq, kb=kb,
                                              cull=cull, return_stats=True)
                 ids = np.asarray(ids)
