@@ -46,7 +46,7 @@ PAD_PENALTY = 1e12  # w = sqrt(penalty); finite so 0*w stays 0 in matmuls
 
 
 def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
-                bm_ref, blkids_ref, cand_ref, surv_ref, *,
+                bm_ref, blkids_ref, cand_ref, surv_ref, gsurv_ref, *,
                 k: int, nb: int, tq: int, kb: int, aabb: bool, cull: bool,
                 wc: int = 2):
     """One query tile.
@@ -171,12 +171,27 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
         # DISTINCT candidate distance >= the k-th order statistic: looser,
         # still a valid upper bound.
         lbv = bm_ref[:]  # (nb, TQ): still the box lower bounds
-        survs = []
-        for g in range(nb // G):  # static slices, unrolled
-            gm = jnp.min(lbv[g * G : (g + 1) * G, :], axis=0)  # (TQ,)
-            survs.append(jnp.any(gm <= tau_hat).astype(jnp.int32))
-            surv_ref[g] = survs[-1]
-        nsurv = sum(survs, jnp.int32(0))
+        # group-survival as ONE dense reduction (the r4 version unrolled 59
+        # per-group jnp.min slices, whose live ranges spilled 191 MB of
+        # VMEM under the Mosaic register allocator): a block survives iff
+        # any query's lower bound is within tau_hat; group counts come from
+        # a static 0/1 selector matmul on the MXU, then one scalar copy per
+        # group moves the flags into SMEM (static indices, no live vectors)
+        nbg = nb // G
+        alive = (lbv <= tau_hat[None, :]).astype(jnp.float32)  # (nb, tq)
+        gsel = (
+            jax.lax.broadcasted_iota(jnp.int32, (nbg, nb), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (nbg, nb), 1) // G
+        ).astype(jnp.float32)
+        gcnt = jax.lax.dot_general(
+            gsel, alive, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (nbg, tq)
+        gany = jnp.max(gcnt, axis=1, keepdims=True)  # (nbg, 1)
+        nsurv = jnp.sum((gany[:, 0] > 0).astype(jnp.int32))
+        gsurv_ref[0:nbg, :] = jnp.broadcast_to(gany, (nbg, 128))
+        for g in range(nbg):  # static scalar copies VMEM -> SMEM
+            surv_ref[g] = (gsurv_ref[g, 0] > 0).astype(jnp.int32)
 
         def brute_if_alive(jg, _):
             @pl.when(surv_ref[jg] != 0)
@@ -231,15 +246,19 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
     def extract(nblocks, blkids, need_tau):
         """k-pass min extraction over the first nblocks*S candidate rows.
 
-        Writes nearest-first global ids to out rows; with need_tau returns
-        tau_k, the k-th extracted distance (the certificate radius) — the
-        extra carry costs a candidate-buffer copy, so the full-band path
-        skips it (it nearly overflows VMEM at kb_full=64, tq=128).
+        Mutates cand_ref IN PLACE (extracted entries are masked to
+        PAD_PENALTY*4 directly in the scratch buffer). The r4 version
+        carried the candidate slab by value through the fori_loop, which
+        Mosaic double-buffers: at the fallback's kb_full=192/tq=256 that
+        alone was ~75 MB of scoped VMEM and OOMed the 100 MiB cap
+        (BENCH_r04). In-place masking keeps one resident copy; the only
+        loop carry is the (tq,) tau vector when need_tau.
         """
         ncand = nblocks * S
         crow = jax.lax.broadcasted_iota(jnp.int32, (ncand, tq), 0)
 
-        def body(cand):
+        def body():
+            cand = cand_ref[0:ncand, :]
             m = jnp.min(cand, axis=0, keepdims=True)
             pos = jnp.min(jnp.where(cand <= m, crow, ncand), axis=0)  # (TQ,)
             sel = crow == pos[None, :]
@@ -247,28 +266,27 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
             # sublane reduction (no per-lane gather)
             slot = pos // S  # (TQ,)
             blk = jnp.sum(jnp.where(srow == slot[None, :], blkids, 0), axis=0)
-            nxt = jnp.where(sel, jnp.float32(PAD_PENALTY * 4), cand)
-            return m, blk * S + pos % S, nxt
+            cand_ref[0:ncand, :] = jnp.where(
+                sel, jnp.float32(PAD_PENALTY * 4), cand
+            )
+            return m[0, :], blk * S + pos % S
 
         if need_tau:
-            def pick(i, carry):
-                cand, _ = carry
-                m, ids, nxt = body(cand)
+            def pick(i, _):
+                m, ids = body()
                 out_ref[i, :] = ids
-                return nxt, m[0, :]
+                return m  # final carry = k-th extracted distance = tau_k
 
-            _, tau = jax.lax.fori_loop(
-                0, k, pick,
-                (cand_ref[0:ncand, :], jnp.zeros((tq,), jnp.float32)),
+            return jax.lax.fori_loop(
+                0, k, pick, jnp.zeros((tq,), jnp.float32)
             )
-            return tau
 
-        def pick_plain(i, cand):
-            _, ids, nxt = body(cand)
+        def pick_plain(i, _):
+            _, ids = body()
             out_ref[i, :] = ids
-            return nxt
+            return 0
 
-        jax.lax.fori_loop(0, k, pick_plain, cand_ref[0:ncand, :])
+        jax.lax.fori_loop(0, k, pick_plain, 0)
         return None
 
     blkids1 = blkids_ref[:]  # (kb_full, TQ); rows >= kb1 only valid later
@@ -348,6 +366,13 @@ def topk_rows_pallas(d2t, k: int, tq: int = 512, interpret: bool = False):
     62 ms per 50k x 192 call on v5e, called once per bisection iteration
     by the candidate refinement (tools/ablate_refine.py). This kernel's k
     extraction passes over a (192, tq) VMEM block are ~2 ms.
+
+    Value-range precondition: all finite inputs must be < PAD_PENALTY*2
+    (2e12) — extracted entries are masked to PAD_PENALTY*4 and pad rows
+    sit at PAD_PENALTY*2, so larger legitimate values would collide with
+    the masks and yield duplicate/wrong positions. Fine for squared
+    distances on normalized clouds (the only caller); do not feed
+    unbounded data.
     """
     kc, c = d2t.shape
     pad_r = (-kc) % 8  # sublane multiple; pad rows never win the min
@@ -371,17 +396,69 @@ def topk_rows_pallas(d2t, k: int, tq: int = 512, interpret: bool = False):
     return out[:, :c]
 
 
+VMEM_CAP_BYTES = 100 * 1024 * 1024  # raised scoped-VMEM cap (v5e: 128 MiB)
+
+
+def _vmem_bytes(k: int, nb: int, npad: int, tq: int, aabb_on: bool) -> int:
+    """Scoped-VMEM footprint model for one _knn_kernel invocation.
+
+    Counts every buffer the kernel keeps resident: scratch (cand slab, bm,
+    blkids, gsurv), the pipelined inputs (query tile double-buffered; the
+    constant-indexed cloud copies once, sublane/lane-padded to Mosaic
+    tiles), outputs double-buffered, plus one cand-sized slack term for the
+    in-place extraction's read-modify-write temporaries and the stage-1
+    group distance temps. Calibrated against the r4 OOM (the value-carried
+    extract measured 105.65 MB at k=192/tq=256 where static buffers were
+    ~31 MB) and the r5 device compile of the in-place version.
+    """
+    kbf = min(k, nb)
+    cand = kbf * S * tq * 4
+    bm = nb * tq * 4
+    blkids = kbf * tq * 4
+    gsurv = max(nb // 8, 8) * 128 * 4
+    q_in = 2 * tq * 128 * 4  # (tq, 3) lane-pads to 128
+    pts_cm = 8 * npad * 4  # (4, npad) sublane-pads to 8
+    pts_blk_t = 4 * S * _ceil_to(nb, 128) * 4
+    aabb_in = 6 * nb * tq * 4 if aabb_on else 8 * tq * 4
+    outs = 2 * (k + 8) * tq * 4
+    temps = cand + 4 * tq * 8 * S * 4  # extract RMW + stage-1 d2 group temps
+    return (cand + bm + blkids + gsurv + q_in + pts_cm + pts_blk_t
+            + aabb_in + outs + temps)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def clamp_tile(k: int, n: int, tq: int, aabb_on: bool = False) -> int:
+    """Largest query tile <= tq whose kernel footprint fits the VMEM cap.
+
+    `tq` (from default_tile) is an upper bound; the actual tile shrinks by
+    powers of two (floor 128) until the _vmem_bytes model fits with ~8%
+    headroom. knn_pallas_single applies this internally, so callers can
+    never compile an over-budget kernel (the r4 failure mode: k=192/tq=256
+    at nb=472 OOMed at 105.65 MB inside the measured bench window).
+    """
+    npad = n + (-n) % (8 * S)
+    nb = npad // S
+    while tq > 128 and _vmem_bytes(k, nb, npad, tq, aabb_on) > int(
+        VMEM_CAP_BYTES * 0.92
+    ):
+        tq //= 2
+    return tq
+
+
 def default_tile(k: int) -> int:
-    """Query-tile size that keeps the candidate scratch inside VMEM.
+    """Upper-bound query-tile size (clamp_tile shrinks it to fit VMEM).
 
     Must be a multiple of 128 (the transposed output's lane width). The
     kernel is per-op-overhead-bound (many small sequential extraction
     passes), so bigger tiles amortize it: tq=256 measured 3.9x faster than
     tq=128 at k=64/kb=16 on v5e (53 ms vs 205 ms for 50k x 60k), and
     tq=512 another ~15% over tq=256 at k=64/kb=12 (r4, same-window,
-    transfer-size-matched). The cand scratch is k*S*tq*4 bytes: 16.8 MB at
-    k=64/tq=512 and 25.2 MB at k=192/tq=256 — inside the raised 100 MiB
-    cap; k>192 (e.g. 200-NN patch ablations) stays at 128.
+    transfer-size-matched). The in-place extraction (r5) keeps one
+    candidate slab resident, so k=192/tq=256 now fits (~59 MB modeled);
+    k>192 (e.g. 200-NN patch ablations) starts at 128.
     """
     if k <= 64:
         return 512
@@ -432,6 +509,10 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
     n = points.shape[0]
     pad_n = (-n) % (8 * S)  # pad to 8-block groups for the stage-1 matmul
     npad = n + pad_n
+    # tq is an UPPER BOUND: shrink until the kernel's modeled scoped-VMEM
+    # footprint fits the cap (see clamp_tile) — callers cannot compile an
+    # over-budget kernel
+    tq = clamp_tile(k, n, tq, aabb_on=aabb or cull)
     pts = jnp.pad(points, ((0, pad_n), (0, 0)))
     if valid is None:
         valid = jnp.ones((n,), bool)
@@ -460,6 +541,9 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
     # per-block AABBs (6, nb) -> pre-broadcast (6*nb, tq) so the kernel's
     # stage-1 math is pure (nb, tq) elementwise ops with zero relayouts.
     # Fully-padded blocks get +/-BIG planes -> lb ~ BIG^2, never selected.
+    # When the AABB stage is off, a tiny (8, tq) dummy replaces it — the
+    # kernel never reads it, and a zeros (6*nb, tq) block wasted ~3-6 MB
+    # of VMEM on the default path.
     if aabb or cull:
         BIG = jnp.float32(1e15)
         pts_b = pts.reshape(nb, S, 3)
@@ -470,8 +554,10 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
         aabb_bc = jnp.broadcast_to(
             planes[:, :, None], (6, nb, tq)
         ).reshape(6 * nb, tq)
+        aabb_rows = 6 * nb
     else:
-        aabb_bc = jnp.zeros((6 * nb, tq), jnp.float32)
+        aabb_rows = 8
+        aabb_bc = jnp.zeros((aabb_rows, tq), jnp.float32)
 
     grid = qp.shape[0] // tq
     out, okf = pl.pallas_call(
@@ -482,7 +568,8 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
             pl.BlockSpec((tq, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * S, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((6 * nb, tq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((aabb_rows, tq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -497,12 +584,14 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
             pltpu.VMEM((kb_full, tq), jnp.int32),
             pltpu.VMEM((kb_full * S, tq), jnp.float32),
             pltpu.SMEM((nb // 8,), jnp.int32),  # per-group survive flags
+            # group-survival staging (cull): 30 KB; dummy rows otherwise
+            pltpu.VMEM((max(nb // 8, 8), 128), jnp.float32),
         ],
-        # the banded kernel's primary + fallback candidate buffers and the
-        # double-buffered full-cloud inputs exceed XLA's default 16 MiB
-        # scoped-vmem cap; v5e has 128 MiB physical VMEM, so raise the cap
+        # the banded kernel's candidate slab and the full-cloud inputs
+        # exceed XLA's default 16 MiB scoped-vmem cap; v5e has 128 MiB
+        # physical VMEM, so raise the cap (clamp_tile budgets against it)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=VMEM_CAP_BYTES
         ),
         interpret=interpret,
     )(qp, pts_cm, pts_blk_t, aabb_bc)

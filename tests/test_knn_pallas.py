@@ -209,3 +209,37 @@ def test_topk_rows_matches_lax_top_k():
         ).T
         want = np.asarray(jax.lax.top_k(-jnp.asarray(d2), k)[1])
         np.testing.assert_array_equal(got, want)
+
+
+def test_clamp_tile_budget():
+    """clamp_tile must shrink the r4-OOM config (k=192/tq=256 at N=60031
+    stays if the in-place footprint fits; k=192/tq=512 must clamp) and
+    never go below 128 or above the requested tq."""
+    n = 60031  # ABC production cloud -> nb=472
+    # the shipped configs must fit at their default tiles
+    assert kp.clamp_tile(64, n, kp.default_tile(64)) in (256, 512)
+    t192 = kp.clamp_tile(192, n, kp.default_tile(192))
+    assert t192 in (128, 256)
+    # modeled footprint of whatever clamp_tile returns must fit the cap
+    for k in (50, 64, 192, 200, 256):
+        tq = kp.clamp_tile(k, n, kp.default_tile(k))
+        npad = n + (-n) % (8 * kp.S)
+        assert kp._vmem_bytes(k, npad // kp.S, npad, tq, False) <= int(
+            kp.VMEM_CAP_BYTES * 0.92)
+        assert tq >= 128 and tq <= kp.default_tile(k)
+    # a giant request clamps down, tiny clouds stay at the request
+    assert kp.clamp_tile(192, n, 2048) <= 256
+    assert kp.clamp_tile(64, 2048, 512) == 512
+
+
+def test_clamped_tile_still_exact():
+    """knn_pallas_single internally clamps tq; results must be identical
+    for any requested tq (the clamp only changes tiling)."""
+    rng = np.random.RandomState(3)
+    pts = rng.rand(700, 3).astype(np.float32)
+    q = rng.rand(40, 3).astype(np.float32)
+    a = np.asarray(kp.knn_pallas_single(jnp.asarray(pts), jnp.asarray(q),
+                                        None, 8, tq=128))
+    b = np.asarray(kp.knn_pallas_single(jnp.asarray(pts), jnp.asarray(q),
+                                        None, 8, tq=4096))
+    np.testing.assert_array_equal(a, b)

@@ -116,6 +116,30 @@ def main() -> int:
         _, loc = jax.lax.top_k(-d2, k)
         return jnp.take_along_axis(ids_c, loc, axis=1).sum()
 
+    def select_iter_pallas():
+        from ppsurf_tpu.ops.knn_pallas import topk_rows_pallas
+
+        d2 = jnp.sum((md[:, None, :].astype(jnp.float32)
+                      - cpts.astype(jnp.float32)) ** 2, -1)
+        loc = topk_rows_pallas(d2.T, k=k).T
+        return jnp.take_along_axis(ids_c, loc, axis=1).sum()
+
+    if on_tpu:
+        # device equality at the SHIPPED config (VERDICT r4 #6): the
+        # interpret-mode test runs tq=128; this is tq=512 on real Mosaic
+        from ppsurf_tpu.ops.knn_pallas import topk_rows_pallas
+
+        d2dev = jax.jit(lambda: jnp.sum(
+            (md[:, None, :].astype(jnp.float32)
+             - cpts.astype(jnp.float32)) ** 2, -1))()
+        got = np.asarray(topk_rows_pallas(d2dev.T, k=k, tq=512).T)
+        ref = np.asarray(jax.lax.top_k(-d2dev, k)[1])
+        eq = np.array_equal(got, ref)
+        print(f"topk_rows_pallas(tq=512) vs lax.top_k at "
+              f"(C={d2dev.shape[0]}, kc={kc}, k={k}): "
+              f"{'EXACT' if eq else 'MISMATCH'}", flush=True)
+        assert eq
+
     ids_k = jax.jit(lambda: jnp.take_along_axis(
         ids_c, jax.lax.top_k(-jnp.sum(
             (md[:, None, :].astype(jnp.float32)
@@ -142,6 +166,9 @@ def main() -> int:
 
     ta = timeit("A cand kNN kc=192 kb=24 (once/chunk)", jax.jit(cand_knn))
     tb = timeit("B per-iter select (d2+top_k+take)", jax.jit(select_iter))
+    if on_tpu:
+        timeit("B2 per-iter select (topk_rows_pallas)",
+               jax.jit(select_iter_pallas))
     tc = timeit("C per-iter body w/ precomputed ids", jax.jit(body_preids))
     tf = timeit("F per-iter body w/ full kNN", jax.jit(body_fullknn))
     td = timeit(f"D cand refine chunk ({iters} iters)",

@@ -66,6 +66,19 @@ def main() -> int:
         qc = q[s:s + 2048].astype(np.float64)
         d2g = (qc ** 2).sum(-1)[:, None] - 2.0 * (qc @ ptsT) + p2[None, :]
         cand = np.argpartition(d2g, sel - 1, axis=1)[:, :sel]
+        # ADVICE r4: the GEMM keeps only `sel` = kmax+16 candidates before
+        # the exact f32 recompute; verify the safety margin is real — the
+        # gap between the kmax-th and sel-th GEMM distances must exceed
+        # the f32 rounding bound, else a >16-slot f64-vs-f32 rank swap at
+        # the kmax boundary could silently corrupt the reference. Fail
+        # loudly instead of silently.
+        csort = np.sort(np.take_along_axis(d2g, cand, axis=1), axis=1)
+        gap = csort[:, sel - 1] - csort[:, kmax - 1]
+        bound = 1e-6 * np.maximum(csort[:, kmax - 1], 1e-12)
+        bad = int((gap <= bound).sum())
+        assert bad == 0, (
+            f"brute-force candidate margin too thin for {bad} queries in "
+            f"chunk @{s}: raise `sel` (gap_min={gap.min():.3e})")
         d2 = ((q[s:s + 2048, None, :] - pts[cand]) ** 2).sum(-1,
                                                              dtype=np.float32)
         out[s:s + 2048] = np.sort(d2, axis=1)[:, :kmax]
@@ -75,13 +88,14 @@ def main() -> int:
     from ppsurf_tpu.ops.knn_pallas import default_tile
 
     ok_all = True
+    culls = ((False, True) if "--cull" in sys.argv else (False,))
     for k, kbs in ((50, (12, 16)), (64, (12, 16)), (192, (24,))):
         for kb in kbs:
-            # cull=True is skipped: at production nb=472 the cull variant
-            # fails to compile (Mosaic register-allocator spills 191 MB of
-            # VMEM — r4 finding, see recon/field.py KNN_CULL note), and
-            # each OOM attempt costs ~4.5 min of compile time.
-            for cull in (False,):
+            # cull variants behind --cull: the r5 restructure (dense
+            # group-survival matmul instead of 59 unrolled slices) fixed
+            # the r4 191 MB Mosaic spill; the A/B lives in
+            # tools/profile_knn_stages.py, exactness here.
+            for cull in culls:
                 tq = default_tile(k)
                 ids, okf = knn_pallas_single(pd, qd, None, k, tq=tq, kb=kb,
                                              cull=cull, return_stats=True)
