@@ -154,3 +154,45 @@ def test_load_checkpoint_variables_npz(tmp_path):
     assert v["params"]["enc"]["fc"]["kernel"].dtype == np.float32
     assert v["params"]["enc"]["fc"]["bias"].shape == (4,)
     assert float(v["batch_stats"]["norm"]["mean"][0]) == 2.0
+
+
+@pytest.mark.parametrize("nn", [10, 200, pytest.param(25, marks=pytest.mark.slow),
+                                pytest.param(50, marks=pytest.mark.slow),
+                                pytest.param(100, marks=pytest.mark.slow)])
+def test_nn_ablation_configs_fit_smoke(nn, tmp_path, abc_minimal_dir):
+    """The 10/25/50/100/200-NN ablation YAMLs run through `fit` end to end
+    (VERDICT r4 #9: the configs existed but had never been exercised;
+    k=200 exceeds the Pallas kNN kernel's device-validated range, so this
+    CPU run exercises the XLA fallback path the 200nn patch extraction
+    takes — see also tools/device_smoke.py for the on-device note).
+    Training knobs are shrunk via CLI overrides; num_pts_local comes from
+    the config under test (reference configs/ppsurf_{nn}nn.yaml)."""
+    from ppsurf_tpu.cli import main, resolve_config
+
+    cfgs = ["configs/poco.yaml", "configs/ppsurf.yaml",
+            f"configs/ppsurf_{nn}nn.yaml"]
+    # the config really carries the ablation's patch size
+    resolved = resolve_config(cfgs, [], "fit")
+    assert resolved["model"]["init_args"]["num_pts_local"] == nn
+
+    rc = main([
+        "fit", *sum((["-c", c] for c in cfgs), []),
+        "--trainer.max_epochs", "1",
+        "--trainer.devices", "2",
+        "--trainer.default_root_dir", str(tmp_path / "m"),
+        "--data.init_args.in_file",
+        os.path.join(abc_minimal_dir, "testset.txt"),
+        "--data.init_args.batch_size", "2",
+        "--data.init_args.manifold_points", "250",
+        "--data.init_args.patches_per_shape", "60",
+        "--data.init_args.workers", "0",
+        "--model.init_args.network_latent_size", "16",
+        "--model.init_args.pointnet_latent_size", "16",
+        "--model.init_args.k", "8",
+        "--model.init_args.workers", "0",
+    ])
+    assert rc == 0
+    root = str(tmp_path / "m")
+    vdir = os.path.join(root, "version_0")
+    assert os.path.isdir(os.path.join(vdir, "checkpoints", "last"))
+    assert os.path.isfile(os.path.join(vdir, "config.yaml"))
