@@ -21,6 +21,11 @@ import os
 import sys
 import typing
 
+# persistent XLA compile cache (same default as bench.py): res-257
+# reconstruction programs take minutes to build on this host; without
+# this every fresh `predict`/`rec` process re-pays them all
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 import numpy as np
 import yaml
 

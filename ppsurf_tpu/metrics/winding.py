@@ -19,26 +19,49 @@ import numpy as np
 from ppsurf_tpu.io.ply import Mesh
 
 
+F_TILE = 8192  # faces per scan step: (q_tile, F_TILE, 3) temps stay ~100 MB
+
+
 @functools.partial(jax.jit, static_argnames=("q_tile",))
 def _winding_tiled(queries, tri_a, tri_b, tri_c, q_tile: int = 1024):
-    """Winding numbers for (Q, 3) queries against (F, 3, 3) triangles."""
+    """Winding numbers for (Q, 3) queries against (F, 3, 3) triangles.
+
+    Both axes are tiled: queries by `q_tile` (lax.map) and faces by
+    `F_TILE` (lax.scan accumulating the solid-angle sum) — the unscanned
+    version materialized (q_tile, F, 3) temps, which at 964k faces
+    (res-257 reconstructions) was a 33 GB HBM footprint. Face padding uses
+    degenerate all-zero triangles: a=b=c ==> cross(b,c)=0 so num=0, and
+    arctan2(0, den) = 0 for den >= 0 (den = 4|q|^3 there), so padded
+    faces contribute exactly zero.
+    """
+    num_f = tri_a.shape[0]
+    pad_f = (-num_f) % F_TILE
+    tris = [jnp.pad(t, ((0, pad_f), (0, 0))).reshape(-1, F_TILE, 3)
+            for t in (tri_a, tri_b, tri_c)]
 
     def one_tile(q):  # (t, 3)
-        a = tri_a[None] - q[:, None]  # (t, F, 3)
-        b = tri_b[None] - q[:, None]
-        c = tri_c[None] - q[:, None]
-        la = jnp.linalg.norm(a, axis=-1)
-        lb = jnp.linalg.norm(b, axis=-1)
-        lc = jnp.linalg.norm(c, axis=-1)
-        num = jnp.einsum("tfi,tfi->tf", a, jnp.cross(b, c))
-        den = (
-            la * lb * lc
-            + jnp.einsum("tfi,tfi->tf", a, b) * lc
-            + jnp.einsum("tfi,tfi->tf", b, c) * la
-            + jnp.einsum("tfi,tfi->tf", c, a) * lb
+        def face_chunk(acc, abc):
+            ta, tb, tc = abc  # (F_TILE, 3) each
+            a = ta[None] - q[:, None]  # (t, F_TILE, 3)
+            b = tb[None] - q[:, None]
+            c = tc[None] - q[:, None]
+            la = jnp.linalg.norm(a, axis=-1)
+            lb = jnp.linalg.norm(b, axis=-1)
+            lc = jnp.linalg.norm(c, axis=-1)
+            num = jnp.einsum("tfi,tfi->tf", a, jnp.cross(b, c))
+            den = (
+                la * lb * lc
+                + jnp.einsum("tfi,tfi->tf", a, b) * lc
+                + jnp.einsum("tfi,tfi->tf", b, c) * la
+                + jnp.einsum("tfi,tfi->tf", c, a) * lb
+            )
+            omega = 2.0 * jnp.arctan2(num, den)  # solid angle per triangle
+            return acc + jnp.sum(omega, axis=-1), None
+
+        total, _ = jax.lax.scan(
+            face_chunk, jnp.zeros((q.shape[0],), jnp.float32), tuple(tris)
         )
-        omega = 2.0 * jnp.arctan2(num, den)  # solid angle per triangle
-        return jnp.sum(omega, axis=-1) / (4.0 * jnp.pi)
+        return total / (4.0 * jnp.pi)
 
     num_q = queries.shape[0]
     pad = (-num_q) % q_tile
