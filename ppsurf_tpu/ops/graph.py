@@ -97,15 +97,13 @@ def build_fkaconv_graph(
     return graph
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "kb", "cull"))
+@functools.partial(jax.jit, static_argnames=("k", "tile", "kb"))
 def build_proj_ids(pts: Array, pts_query: Array, k: int = 64, tile: int = 512,
-                   kb: int = 0, cull: bool = False) -> Array:
+                   kb: int = 0) -> Array:
     """k-NN of query points into the cloud for the decoder.
 
     Parity: reference `get_proj_ids` (`poco_data_loader.py:212-240`), k=64.
     pts: (B, N, 3), pts_query: (B, Q, 3) -> (B, Q, k). kb > 0 enables the
-    banded Pallas kNN (exact; fast when pts/queries are Morton-ordered);
-    cull adds its tau_hat stage-1 group culling (knn_pallas docstring).
+    banded Pallas kNN (exact; fast when pts/queries are Morton-ordered).
     """
-    return knn(pts, pts_query, min(k, pts.shape[1]), tile=tile, kb=kb,
-               cull=cull)
+    return knn(pts, pts_query, min(k, pts.shape[1]), tile=tile, kb=kb)

@@ -108,10 +108,11 @@ def _pad_points(points: Array, valid_n: typing.Optional[Array]):
 def _use_pallas(k: int, return_dists: bool) -> bool:
     """Dispatch to the fused Pallas kernel on TPU (ids-only, k <= 256).
 
-    Tile sizes come from default_tile (tq=512 at k<=64, 256 at k<=192);
-    the fallback candidate scratch is kb_full*S*tq*4 B = 25.2 MB at
-    k=192/tq=256 — inside the raised VMEM cap. 256 is a safety bound,
-    not a measured cliff.
+    Tile sizes come from default_tile; since the slab-free stage 3 (r5)
+    the kernel's scoped-VMEM footprint is dominated by per-pass gather
+    temporaries, so every shipped k fits at its default tile (clamp_tile
+    enforces the budget regardless). 256 is a safety bound on validated
+    k, not a measured cliff.
     """
     try:
         backend = jax.default_backend()
@@ -128,14 +129,13 @@ def _knn_single(
     valid_n: typing.Optional[Array],
     return_dists: bool,
     kb: int = 0,
-    cull: bool = False,
 ):
     """kNN for one (N,3) cloud / (Q,3) query set."""
     if _use_pallas(k, return_dists):
         from ppsurf_tpu.ops.knn_pallas import default_tile, knn_pallas_single
 
         return knn_pallas_single(points, queries, valid_n, k,
-                                 tq=default_tile(k), kb=kb, cull=cull)
+                                 tq=default_tile(k), kb=kb)
     points, valid_n = _pad_points(points, valid_n)
     num_q = queries.shape[0]
     pad_q = (-num_q) % tile
@@ -153,8 +153,7 @@ def _knn_single(
     return out[0].reshape(-1, k)[:num_q]
 
 
-def _knn_batched(points, queries, k, tile, valid_n, return_dists, kb: int = 0,
-                 cull: bool = False):
+def _knn_batched(points, queries, k, tile, valid_n, return_dists, kb: int = 0):
     """Batched kNN: flatten (B, tiles) into one lax.map.
 
     A vmap over lax.map lowers to batched gathers that run far slower on
@@ -169,7 +168,7 @@ def _knn_batched(points, queries, k, tile, valid_n, return_dists, kb: int = 0,
             valid_n = jnp.ones(points.shape[:-1], bool)
         return jax.lax.map(
             lambda args: knn_pallas_single(args[0], args[1], args[2], k,
-                                           tq=tq, kb=kb, cull=cull),
+                                           tq=tq, kb=kb),
             (points, queries, valid_n),
         )
 
@@ -199,22 +198,19 @@ def _knn_batched(points, queries, k, tile, valid_n, return_dists, kb: int = 0,
     return out[0].reshape(b, -1, k)[:, :num_q]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "kb", "cull"))
+@functools.partial(jax.jit, static_argnames=("k", "tile", "kb"))
 def knn(points: Array, queries: Array, k: int, tile: int = 512,
-        kb: int = 0, cull: bool = False) -> Array:
+        kb: int = 0) -> Array:
     """Indices (..., Q, k) of the k nearest of `points` for each query.
 
     points: (B, N, 3) or (N, 3); queries: (B, Q, 3) or (Q, 3).
     Nearest-first ordering, parity with reference `poco_utils.py:257-273`.
     kb > 0 enables the banded Pallas stage 3 (see knn_pallas) — always
-    exact, fast when points/queries are Morton-ordered. cull=True adds the
-    tau_hat group-culling stage 1 (knn_pallas docstring) on top.
+    exact, fast when points/queries are Morton-ordered.
     """
     if points.ndim == 2:
-        return _knn_single(points, queries, k, tile, None, False, kb=kb,
-                           cull=cull)
-    return _knn_batched(points, queries, k, tile, None, False, kb=kb,
-                        cull=cull)
+        return _knn_single(points, queries, k, tile, None, False, kb=kb)
+    return _knn_batched(points, queries, k, tile, None, False, kb=kb)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "return_dists"))

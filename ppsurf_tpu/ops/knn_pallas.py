@@ -46,9 +46,8 @@ PAD_PENALTY = 1e12  # w = sqrt(penalty); finite so 0*w stays 0 in matmuls
 
 
 def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
-                bm_ref, blkids_ref, cand_ref, surv_ref, gsurv_ref, *,
-                k: int, nb: int, tq: int, kb: int, aabb: bool, cull: bool,
-                wc: int = 2):
+                bm_ref, blkids_ref, cand_ref, *,
+                k: int, nb: int, tq: int, kb: int, aabb: bool):
     """One query tile.
 
     q (TQ, 3); pts_cm (4, NB*S) coordinate-major; pts_blk_t (4*S, NB)
@@ -113,7 +112,7 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
         d2 = (gx - qxT) ** 2 + (gy - qyT) ** 2 + (gz - qzT) ** 2 + gw * gw
         cand_ref[pl.ds(pl.multiple_of(slot * S, S), S), :] = d2  # (S, TQ)
 
-    if aabb or cull:
+    if aabb:
         # ---- stage 1 (AABB variant): per-block LOWER BOUNDS instead of
         # true block minima. aabb_ref (6*nb, tq) holds pre-broadcast block
         # AABB planes (lox,loy,loz,hix,hiy,hiz); lb = squared distance of
@@ -135,73 +134,7 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
                         qzT - aabb_ref[5 * nb : 6 * nb, :]), zero)
         bm_ref[:] = tx * tx + ty * ty + tz * tz
 
-    nsurv = jnp.int32(nb // G)
-    if cull:
-        # ---- stage 1 (CULL variant): the brute pass runs only for block
-        # GROUPS that can matter. tau_hat is a per-query UPPER bound on the
-        # k-th NN distance (the k-th smallest over any >= k points is one):
-        # computed from `wc` seed blocks picked nearest-to-the-tile by the
-        # AABB bounds. A group is culled when every query's box lower bound
-        # exceeds its tau_hat — no point inside can enter any top-k. Culled
-        # groups keep bm = lb (still a valid lower bound, so stage 2, the
-        # certificate, and the fallback stay sound); moreover any block
-        # holding a true neighbor has bm <= tau_k <= tau_hat < every culled
-        # lb, so culling can never displace a true-NN block from the band.
-        # Morton-sorted query tiles are spatially compact, so most of the
-        # cloud culls (measured on ABC clouds: see tools/profile_knn_stages).
-        sc = jnp.max(bm_ref[:], axis=1, keepdims=True)  # (nb, 1) tile score
-        row1 = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
-        for w in range(wc):
-            m = jnp.min(sc)
-            bid = jnp.min(jnp.where(sc <= m, row1, nb))  # scalar block id
-            gather_block_d2(w, bid)
-            sc = jnp.where(row1 == bid, jnp.float32(PAD_PENALTY * 4), sc)
-
-        def tau_pass(i, carry):
-            c, _ = carry
-            m = jnp.min(c, axis=0)  # (TQ,)
-            nxt = jnp.where(c <= m[None, :], jnp.float32(PAD_PENALTY * 4), c)
-            return nxt, m
-
-        _, tau_hat = jax.lax.fori_loop(
-            0, k, tau_pass,
-            (cand_ref[0 : wc * S, :], jnp.zeros((tq,), jnp.float32)),
-        )
-        # ties inside tau_pass are masked together, so tau_hat is the k-th
-        # DISTINCT candidate distance >= the k-th order statistic: looser,
-        # still a valid upper bound.
-        lbv = bm_ref[:]  # (nb, TQ): still the box lower bounds
-        # group-survival as ONE dense reduction (the r4 version unrolled 59
-        # per-group jnp.min slices, whose live ranges spilled 191 MB of
-        # VMEM under the Mosaic register allocator): a block survives iff
-        # any query's lower bound is within tau_hat; group counts come from
-        # a static 0/1 selector matmul on the MXU, then one scalar copy per
-        # group moves the flags into SMEM (static indices, no live vectors)
-        nbg = nb // G
-        alive = (lbv <= tau_hat[None, :]).astype(jnp.float32)  # (nb, tq)
-        gsel = (
-            jax.lax.broadcasted_iota(jnp.int32, (nbg, nb), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (nbg, nb), 1) // G
-        ).astype(jnp.float32)
-        gcnt = jax.lax.dot_general(
-            gsel, alive, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (nbg, tq)
-        gany = jnp.max(gcnt, axis=1, keepdims=True)  # (nbg, 1)
-        nsurv = jnp.sum((gany[:, 0] > 0).astype(jnp.int32))
-        gsurv_ref[0:nbg, :] = jnp.broadcast_to(gany, (nbg, 128))
-        for g in range(nbg):  # static scalar copies VMEM -> SMEM
-            surv_ref[g] = (gsurv_ref[g, 0] > 0).astype(jnp.int32)
-
-        def brute_if_alive(jg, _):
-            @pl.when(surv_ref[jg] != 0)
-            def _():
-                block_min_group(jg, 0)
-
-            return 0
-
-        jax.lax.fori_loop(0, nb // G, brute_if_alive, 0)
-    elif not aabb:
+    else:
         jax.lax.fori_loop(0, nb // G, block_min_group, 0)
 
     # ---- stage 2: best blocks per query ----
@@ -309,8 +242,7 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
             jnp.broadcast_to(
                 jnp.logical_not(tile_ok).astype(jnp.int32)[None, None], (1, tq)
             ),
-            jnp.broadcast_to(nsurv[None, None], (1, tq)),  # cull diagnostics
-            jnp.zeros((5, tq), jnp.int32),
+            jnp.zeros((6, tq), jnp.int32),
         ],
         axis=0,
     )
@@ -320,10 +252,9 @@ def _knn_kernel(q_ref, pts_cm_ref, pts_blk_t_ref, aabb_ref, out_ref, ok_ref,
         # redo with the unconditionally exact block set. The exactness
         # argument (k selected blocks each contain an element <= any
         # element of an unselected block) needs TRUE block minima — under
-        # the AABB/CULL stage 1 bm_ref holds lower bounds (for culled
-        # groups), so recompute them all here (the brute pass runs only
-        # for certificate-failing tiles).
-        if aabb or cull:
+        # the AABB stage 1 bm_ref holds lower bounds, so recompute them
+        # here (the brute pass runs only for certificate-failing tiles).
+        if aabb:
             jax.lax.fori_loop(0, nb // G, block_min_group, 0)
         # bm_ref was never mutated by stage 2 (it carries by value), so
         # re-picking from scratch rebuilds blkids rows 0..kb1 (identically
@@ -403,7 +334,7 @@ def _vmem_bytes(k: int, nb: int, npad: int, tq: int, aabb_on: bool) -> int:
     """Scoped-VMEM footprint model for one _knn_kernel invocation.
 
     Counts every buffer the kernel keeps resident: scratch (cand slab, bm,
-    blkids, gsurv), the pipelined inputs (query tile double-buffered; the
+    blkids), the pipelined inputs (query tile double-buffered; the
     constant-indexed cloud copies once, sublane/lane-padded to Mosaic
     tiles), outputs double-buffered, plus one cand-sized slack term for the
     in-place extraction's read-modify-write temporaries and the stage-1
@@ -415,14 +346,13 @@ def _vmem_bytes(k: int, nb: int, npad: int, tq: int, aabb_on: bool) -> int:
     cand = kbf * S * tq * 4
     bm = nb * tq * 4
     blkids = kbf * tq * 4
-    gsurv = max(nb // 8, 8) * 128 * 4
     q_in = 2 * tq * 128 * 4  # (tq, 3) lane-pads to 128
     pts_cm = 8 * npad * 4  # (4, npad) sublane-pads to 8
     pts_blk_t = 4 * S * _ceil_to(nb, 128) * 4
     aabb_in = 6 * nb * tq * 4 if aabb_on else 8 * tq * 4
     outs = 2 * (k + 8) * tq * 4
     temps = cand + 4 * tq * 8 * S * 4  # extract RMW + stage-1 d2 group temps
-    return (cand + bm + blkids + gsurv + q_in + pts_cm + pts_blk_t
+    return (cand + bm + blkids + q_in + pts_cm + pts_blk_t
             + aabb_in + outs + temps)
 
 
@@ -467,15 +397,11 @@ def default_tile(k: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tq", "kb", "return_stats", "interpret", "aabb",
-                     "cull"),
+    static_argnames=("k", "tq", "kb", "return_stats", "interpret", "aabb"),
 )
 def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
                       kb: int = 0, return_stats: bool = False,
-                      interpret: bool = False, aabb: bool = False,
-                      cull: bool = False):
-    # aabb=True replaces the brute stage 1 with per-block AABB lower
-    # bounds (~100x fewer stage-1 ops, exactness preserved through the
+                      interpret: bool = False, aabb: bool = False):
     """Exact kNN ids (Q, k) for one cloud.
 
     points: (N, 3) f32; valid: (N,) bool mask (True = real point) or None;
@@ -497,14 +423,16 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
     running anyway. Kept (tested-exact) for experimentation on clouds
     where blocks separate better; default OFF.
 
-    cull=True keeps the strong true-min certificate but SKIPS the brute
-    stage-1 pass for block groups that provably cannot matter: a cheap
-    per-query upper bound tau_hat on the k-th NN distance (k-th smallest
-    distance to 2 seed blocks picked by the AABB bounds) culls every
-    group whose box lower bound exceeds tau_hat for all queries in the
-    tile. Culled groups keep their (valid) lower bounds as bm, so every
-    downstream exactness argument is unchanged; on Morton-sorted query
-    tiles most of the cloud culls. Banded mode only (like aabb).
+    (A tau_hat group-culling stage-1 variant lived here through r4/r5: it
+    never compiled at production size — Mosaic's register allocator
+    spilled 183-191 MB of VMEM for the per-group survivor bookkeeping
+    (SMEM flags + pl.when per group), both as 59 unrolled slices (r4) and
+    after a dense-reduction rewrite (r5). Removed rather than shipped as
+    dead surface. The cull *potential* is real — a host-side measurement
+    of the same bound logic culls ~75% of block groups per tile at the
+    production config (/tmp-archived in ROADMAP) — so a future attempt
+    should restructure the brute pass around a compacted survivor list
+    instead of per-group conditionals.)
     """
     n = points.shape[0]
     pad_n = (-n) % (8 * S)  # pad to 8-block groups for the stage-1 matmul
@@ -512,7 +440,7 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
     # tq is an UPPER BOUND: shrink until the kernel's modeled scoped-VMEM
     # footprint fits the cap (see clamp_tile) — callers cannot compile an
     # over-budget kernel
-    tq = clamp_tile(k, n, tq, aabb_on=aabb or cull)
+    tq = clamp_tile(k, n, tq, aabb_on=aabb)
     pts = jnp.pad(points, ((0, pad_n), (0, 0)))
     if valid is None:
         valid = jnp.ones((n,), bool)
@@ -535,8 +463,6 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
     # the banded certificate + fallback; the full-band path's exactness
     # argument needs true minima, so it keeps the brute stage 1
     aabb = aabb and kb1 < kb_full
-    # culling shares the banded-only constraint; tiny clouds gain nothing
-    cull = cull and not aabb and kb1 < kb_full and nb >= 16
 
     # per-block AABBs (6, nb) -> pre-broadcast (6*nb, tq) so the kernel's
     # stage-1 math is pure (nb, tq) elementwise ops with zero relayouts.
@@ -544,7 +470,7 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
     # When the AABB stage is off, a tiny (8, tq) dummy replaces it — the
     # kernel never reads it, and a zeros (6*nb, tq) block wasted ~3-6 MB
     # of VMEM on the default path.
-    if aabb or cull:
+    if aabb:
         BIG = jnp.float32(1e15)
         pts_b = pts.reshape(nb, S, 3)
         validb = valid_p.reshape(nb, S, 1)
@@ -561,8 +487,7 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
 
     grid = qp.shape[0] // tq
     out, okf = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, nb=nb, tq=tq, kb=kb1, aabb=aabb,
-                          cull=cull),
+        functools.partial(_knn_kernel, k=k, nb=nb, tq=tq, kb=kb1, aabb=aabb),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tq, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -583,9 +508,6 @@ def knn_pallas_single(points, queries, valid, k: int, tq: int = 128,
             pltpu.VMEM((nb, tq), jnp.float32),
             pltpu.VMEM((kb_full, tq), jnp.int32),
             pltpu.VMEM((kb_full * S, tq), jnp.float32),
-            pltpu.SMEM((nb // 8,), jnp.int32),  # per-group survive flags
-            # group-survival staging (cull): 30 KB; dummy rows otherwise
-            pltpu.VMEM((max(nb // 8, 8), 128), jnp.float32),
         ],
         # the banded kernel's candidate slab and the full-cloud inputs
         # exceed XLA's default 16 MiB scoped-vmem cap; v5e has 128 MiB

@@ -39,15 +39,6 @@ def _ceil_to(x: int, m: int) -> int:
 import os as _os
 
 KNN_BAND = int(_os.environ.get("PPSURF_KNN_BAND", "12"))
-KNN_CULL = _os.environ.get("PPSURF_KNN_CULL", "0") == "1"
-# tau_hat group culling for the kNN's brute stage 1 (knn_pallas
-# docstring): skips the exact block-min pass for block groups provably
-# outside every query's k-NN radius. Default OFF: the r4 device A/B
-# (tools/profile_knn_stages.py) found the cull variant FAILS TO COMPILE
-# at production sizes (nb=472: Mosaic register-allocator spills 191 MB
-# of VMEM, over the 128 MB physical cap) — the unrolled per-group
-# survivor loop needs restructuring before this can ship. The sticky
-# fallbacks downgrade cleanly if enabled anyway.
 # banded-kNN block count: certificate p99 is ~9 blocks on ABC clouds
 # (60k pts, k=64 grid queries), so 12 makes in-kernel fallback rare
 # (measured 0% tiles on ABC clouds with grid queries; kb=10 hit 25% on
@@ -84,7 +75,6 @@ def _make_chunk_body(net, is_ppsurf, num_pts_local, spec_k, shared, knn_tile,
         if proj_ids is None:
             proj_ids = build_proj_ids(
                 pts_all, queries, k=spec_k, tile=knn_tile, kb=KNN_BAND,
-                cull=KNN_CULL,
             )
         data = {
             "pts": pts_all,
@@ -328,7 +318,6 @@ def _make_refine_cand_chunk(net, is_ppsurf, num_pts_local, spec_k, shared,
         # it exact regardless)
         ids_c = build_proj_ids(
             pts_all, m[None], k=kc, tile=knn_tile, kb=2 * KNN_BAND,
-            cull=KNN_CULL,
         )[0]  # (C, kc), nearest-first
         cpts = jnp.take(pts_all[0], ids_c, axis=0)  # (C, kc, 3)
         d2m = jnp.sum((m[:, None, :].astype(jnp.float32)

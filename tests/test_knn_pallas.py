@@ -160,41 +160,6 @@ def test_k192_banded_exact():
                                atol=1e-5)
 
 
-def test_cull_exact_and_engages():
-    """tau_hat group culling (cull=True): exact results, valid certificate,
-    and at least some groups actually culled on a dense surface cloud
-    (interpret mode; device validation via tools/validate_kb12.py)."""
-    rng = np.random.RandomState(4)
-    n, q, k, tq, kb = 16384, 2048, 16, 128, 6
-    u = rng.randn(n, 3).astype(np.float32)
-    u /= np.linalg.norm(u, axis=1, keepdims=True)
-    pts = (u * (1 + 0.05 * np.sin(7 * u[:, :1]) * np.cos(5 * u[:, 1:2])))
-    pts = pts.astype(np.float32)
-    uq = rng.randn(q, 3).astype(np.float32)
-    uq /= np.linalg.norm(uq, axis=1, keepdims=True)
-    qs = (uq * (1 + 0.05 * rng.randn(q, 1))).astype(np.float32)
-    from ppsurf_tpu.ops.morton import morton_order
-
-    pts = pts[morton_order(pts, pts.min(0), pts.max(0))]
-    qs = qs[morton_order(qs, pts.min(0), pts.max(0))]
-
-    ids, okf = kp.knn_pallas_single(
-        jnp.asarray(pts), jnp.asarray(qs), None, k, tq=tq, kb=kb,
-        cull=True, return_stats=True, interpret=True,
-    )
-    ids, okf = np.asarray(ids), np.asarray(okf)
-    assert all(len(np.unique(r)) == k for r in ids[::64])
-    d = np.linalg.norm(qs[:, None, :] - pts[ids], axis=-1)
-    assert np.all(np.diff(d, axis=1) >= -1e-6)
-    np.testing.assert_allclose(np.sort(d, axis=1), brute_force(pts, qs, k),
-                               atol=1e-5)
-    surv = okf[2].reshape(-1, tq)[:, 0]
-    ngroups = (n // 128) // 8
-    assert surv.max() <= ngroups
-    # dense Morton-sorted tiles on this cloud must cull a decent fraction
-    assert surv.mean() < 0.8 * ngroups, surv.tolist()
-
-
 def test_topk_rows_matches_lax_top_k():
     """topk_rows_pallas == lax.top_k(-d2, k)[1].T including tie order
     (interpret mode; device A/B in tools/ablate_refine.py)."""
@@ -212,23 +177,23 @@ def test_topk_rows_matches_lax_top_k():
 
 
 def test_clamp_tile_budget():
-    """clamp_tile must shrink the r4-OOM config (k=192/tq=256 at N=60031
-    stays if the in-place footprint fits; k=192/tq=512 must clamp) and
-    never go below 128 or above the requested tq."""
+    """clamp_tile must keep every shipped config inside the modeled VMEM
+    budget and never go below 128 or above the requested tq. (The r4 OOM
+    config k=192/tq=256 is covered by the shipped-defaults loop; the
+    budget property, not a fixed clamp value, is the invariant.)"""
     n = 60031  # ABC production cloud -> nb=472
+    npad = n + (-n) % (8 * kp.S)
     # the shipped configs must fit at their default tiles
-    assert kp.clamp_tile(64, n, kp.default_tile(64)) in (256, 512)
-    t192 = kp.clamp_tile(192, n, kp.default_tile(192))
-    assert t192 in (128, 256)
+    assert kp.clamp_tile(64, n, kp.default_tile(64)) == kp.default_tile(64)
+    assert kp.clamp_tile(192, n, kp.default_tile(192)) == kp.default_tile(192)
     # modeled footprint of whatever clamp_tile returns must fit the cap
     for k in (50, 64, 192, 200, 256):
-        tq = kp.clamp_tile(k, n, kp.default_tile(k))
-        npad = n + (-n) % (8 * kp.S)
-        assert kp._vmem_bytes(k, npad // kp.S, npad, tq, False) <= int(
-            kp.VMEM_CAP_BYTES * 0.92)
-        assert tq >= 128 and tq <= kp.default_tile(k)
-    # a giant request clamps down, tiny clouds stay at the request
-    assert kp.clamp_tile(192, n, 2048) <= 256
+        for req in (kp.default_tile(k), 2048):
+            tq = kp.clamp_tile(k, n, req)
+            assert kp._vmem_bytes(k, npad // kp.S, npad, tq, False) <= int(
+                kp.VMEM_CAP_BYTES * 0.92)
+            assert tq >= 128 and tq <= req
+    # tiny clouds stay at the request
     assert kp.clamp_tile(64, 2048, 512) == 512
 
 

@@ -17,7 +17,6 @@ force where applicable):
 Flags:
   --refine  also compile the full-size candidate-refinement program
             (the exact program that OOMed in r4; adds ~3-5 min)
-  --cull    also compile the tau_hat cull kNN variant (A/B surface)
 
 Exit 0 = all compiles + exactness checks green. Prints per-step wall
 times so regressions in compile cost are visible too.
@@ -93,8 +92,6 @@ def main() -> int:
         print(f"[{state:>4}] {label}  ({time.perf_counter() - t0:.1f}s)",
               flush=True)
 
-    cull = "--cull" in sys.argv
-
     for k, kb in ((64, 12), (192, 24)):
         tq = default_tile(k)
         tq_eff = clamp_tile(k, pts.shape[0], tq)
@@ -103,12 +100,6 @@ def main() -> int:
             return _brute_ids_check(pts, q, ids, k)
         step(f"knn_pallas k={k} kb={kb} tq={tq}->(clamped){tq_eff} "
              f"nb={(pts.shape[0] + (-pts.shape[0]) % 1024) // 128}", knn_step)
-        if cull:
-            def cull_step(k=k, kb=kb, tq=tq):
-                ids = knn_pallas_single(pd, qd, None, k, tq=tq, kb=kb,
-                                        cull=True)
-                return _brute_ids_check(pts, q, ids, k)
-            step(f"knn_pallas CULL k={k} kb={kb} tq={tq}", cull_step)
 
     def topk_step():
         c = 50176

@@ -88,29 +88,21 @@ def main() -> int:
     from ppsurf_tpu.ops.knn_pallas import default_tile
 
     ok_all = True
-    culls = ((False, True) if "--cull" in sys.argv else (False,))
     for k, kbs in ((50, (12, 16)), (64, (12, 16)), (192, (24,))):
         for kb in kbs:
-            # cull variants behind --cull: the r5 restructure (dense
-            # group-survival matmul instead of 59 unrolled slices) fixed
-            # the r4 191 MB Mosaic spill; the A/B lives in
-            # tools/profile_knn_stages.py, exactness here.
-            for cull in culls:
-                tq = default_tile(k)
-                ids, okf = knn_pallas_single(pd, qd, None, k, tq=tq, kb=kb,
-                                             cull=cull, return_stats=True)
-                ids = np.asarray(ids)
-                d2 = ((q[:, None, :] - pts[ids]) ** 2).sum(-1)
-                got = np.sort(d2, axis=1)
-                exact = np.allclose(got, ref_d[k], rtol=0, atol=0)
-                uniq = all(len(np.unique(r)) == k for r in ids[::1024])
-                okf_np = np.asarray(okf)
-                fb = okf_np[1].mean()
-                surv = okf_np[2].reshape(-1, tq)[:, 0].mean()
-                print(f"k={k} kb={kb} cull={int(cull)}: exact={exact} "
-                      f"unique_ids={uniq} tile_fallback={fb:.4f} "
-                      f"surv_groups={surv:.1f}", flush=True)
-                ok_all &= exact and uniq
+            tq = default_tile(k)
+            ids, okf = knn_pallas_single(pd, qd, None, k, tq=tq, kb=kb,
+                                         return_stats=True)
+            ids = np.asarray(ids)
+            d2 = ((q[:, None, :] - pts[ids]) ** 2).sum(-1)
+            got = np.sort(d2, axis=1)
+            exact = np.allclose(got, ref_d[k], rtol=0, atol=0)
+            uniq = all(len(np.unique(r)) == k for r in ids[::1024])
+            okf_np = np.asarray(okf)
+            fb = okf_np[1].mean()
+            print(f"k={k} kb={kb}: exact={exact} "
+                  f"unique_ids={uniq} tile_fallback={fb:.4f}", flush=True)
+            ok_all &= exact and uniq
 
     # ---- same-window chunk A/B: band 12 vs 16 ----
     from ppsurf_tpu.recon import field as field_mod
