@@ -37,14 +37,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, reps: int = 3):
-    """Compile+settle, then best-of-reps wall time of a scalar-output jit."""
+def timed(fn, *args, reps: int = 3, depth: int = 10):
+    """Compile+settle, then per-call device time with the dispatch floor
+    amortized: submit `depth` async calls back-to-back and sync ONCE (the
+    remote platform has a ~26 ms per-round-trip latency that a single
+    submit-sync window misattributes to the kernel), best of `reps`."""
     np.asarray(fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        np.asarray(fn(*args))
-        ts.append(time.perf_counter() - t0)
+        r = None
+        for _ in range(depth):
+            r = fn(*args)
+        np.asarray(r)
+        ts.append((time.perf_counter() - t0) / depth)
     return min(ts)
 
 
